@@ -91,19 +91,19 @@ def to_url_path(
     return F.concat(*parts)
 
 
-def to_url(**cols: Column) -> Column:
+def to_url(
+    type_: Column,
+    provider: Column,
+    namespace: Column | None,
+    name: Column,
+    revision: Column | None = None,
+    tool: Column | None = None,
+    tool_version: Column | None = None,
+) -> Column:
     """cd:/ canonical URL (entitySpec.js:64-66)."""
     return F.concat(
         F.lit("cd:/"),
-        to_url_path(
-            cols["type"],
-            cols["provider"],
-            cols.get("namespace"),
-            cols["name"],
-            cols.get("revision"),
-            cols.get("tool"),
-            cols.get("tool_version"),
-        ),
+        to_url_path(type_, provider, namespace, name, revision, tool, tool_version),
     )
 
 
@@ -162,7 +162,10 @@ def with_parsed_coordinates(df: DataFrame, url_col: str = "url") -> DataFrame:
     subexpressions for identical regexp_extract calls).
     """
     cols = parse_coordinate_cols(F.col(url_col))
-    canon = to_url(**cols)
+    canon = to_url(
+        cols["type"], cols["provider"], cols["namespace"], cols["name"],
+        cols["revision"], cols["tool"], cols["tool_version"],
+    )
     out = df
     for k, v in cols.items():
         out = out.withColumn(k, v)

@@ -1,0 +1,506 @@
+"""The scheduling epoch — the Spark twin of the reference's crawl loop.
+
+One epoch ≡ one batch pass of pop → fetch → process → store → expand
+(/root/reference/ghcrawler/lib/crawler.js:111-126), expressed as a
+DataFrame DAG committed atomically to the snapshot store:
+
+1. **eligibility** — politeness/backoff gate `not_before_epoch <= epoch`
+   (crawler.js:92-105,172-174) + parent-before-child `parent_epoch < epoch`
+   (children durably enqueued before the parent acks, crawler.js:272-298).
+2. **robots gate** — broadcast join against the robots table; disallowed
+   coordinates are logged 'RobotsExcluded' and dropped (north rule).
+3. **per-host politeness budget** — `row_number() OVER (PARTITION BY host
+   ORDER BY scope_rank, enqueued_seq) <= budget` (north rule; the batch
+   analogue of the reference's per-request delay gates).
+4. **weighted pop ranking** — per-(scope,queue) FIFO rank via window;
+   the global pop order comes from the shared `poporder` kernel run on
+   the 8 per-queue *counts* (queueSet.js:60-98 semantics, local-first
+   scopedQueueSets.js:51-60), then joined back as a broadcast map
+   (scope, queue, fifo_rank) → pop_index. Driver-side work is O(batch)
+   over 8 integers — independent of frontier size.
+5. **fetch simulation** — scheduled batch ⨝ registry dims: latest-version
+   resolution (max_by semver, baseHandler.js:83-101), 404 → 'Skipped',
+   throttle → 'Requeued' with backoff or 'Deadletter' past 5 attempts
+   (goFetch.js:68-75; crawler.js:330-342), payload spans land in
+   `documents`.
+6. **expansion** — processed rows ⨝ broadcast(visitor_map) → children,
+   canonicalized + hashed, deduped within the batch ('Attenuated',
+   attenuatedQueue.js:36-69), anti-joined against the seen set
+   (request.js:117-121, 247-251), inserted with deterministic
+   `enqueued_seq` derived from (pop_index, edge_idx) — never
+   `monotonically_increasing_id` (SURVEY.md §4).
+7. **commit** — one atomic snapshot replacing {frontier, seen} and
+   appending {documents, schedule_log, deadletters, epoch_metrics}.
+
+Scale notes: the only non-partitioned window is the enqueued_seq
+assignment over the epoch's *new* rows (bounded by batch_budget × fanout,
+not frontier size); every other window partitions by host or
+(scope,queue). The registry-name dim join is a hash join on
+(provider,namespace,name) — broadcast when small. Hot-host skew is
+handled by AQE skew-join plus the `salt` column for the budget window
+(see scheduler notes in SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.config import (
+    DEFAULT_BATCH_BUDGET,
+    DEFAULT_HOST_BUDGET,
+    MAX_REQUEUE_ATTEMPTS,
+    POP_RNG_SEED,
+    REQUEUE_DELAY_EPOCHS,
+)
+from crawler_spark.data.visitor_map import (
+    PACKAGE_SPEC_TYPES,
+    SOURCE_SPEC_TYPES,
+    TERMINAL_TYPES,
+    VISITOR_EDGES,
+    visitor_map_df,
+)
+from crawler_spark.functions.coordinates import host_for_provider, to_url, to_urn, with_parsed_coordinates
+from crawler_spark.functions.versions import latest_version_agg
+from crawler_spark.poporder import epoch_rng, pop_schedule
+from crawler_spark.storage.snapshots import SnapshotStore
+
+FRONTIER_COLS = [
+    "url", "type", "spec_type", "provider", "namespace", "name", "revision",
+    "host", "queue", "scope", "policy", "attempt_count", "not_before_epoch",
+    "parent_epoch", "enqueued_seq", "url_hash",
+]
+
+_LOG_COLS = ["epoch", "pop_index", "type", "url", "queue", "scope", "outcome", "attempt"]
+
+
+def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
+    """POST /requests equivalent: rationalize + canonicalize seed rows into
+    frontier entries (/root/reference/ghcrawler/routes/requests.js:24-41)."""
+    parsed = with_parsed_coordinates(seeds.withColumnRenamed("type", "request_type"), "url")
+    return parsed.select(
+        F.col("canonical_url").alias("url"),
+        F.col("request_type").alias("type"),
+        F.col("type").alias("spec_type"),
+        "provider", "namespace", "name", "revision", "host",
+        F.coalesce(F.col("queue"), F.lit("normal")).alias("queue"),
+        F.lit("global").alias("scope"),
+        F.coalesce(F.col("policy"), F.lit("default")).alias("policy"),
+        F.lit(0).alias("attempt_count"),
+        F.lit(0).alias("not_before_epoch"),
+        F.lit(-1).alias("parent_epoch"),
+        F.col("seed_id").cast("long").alias("_order"),
+        F.xxhash64(F.concat(F.col("request_type"), F.lit("@"), F.col("canonical_url"))).alias("url_hash"),
+    )
+
+
+def _seen_key(type_col, url_col):
+    return F.concat(type_col, F.lit("@"), url_col)
+
+
+def enqueue_batch(
+    entries: DataFrame,
+    seen: DataFrame,
+    next_seq: int,
+    order_cols: list[str],
+    seen_epoch: int = 0,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Attenuation + seen-filter + deterministic seq assignment.
+
+    `entries` must carry `_order`-able columns (`order_cols`) defining the
+    reference push order. Returns (new_frontier_rows, new_seen_rows,
+    counters). Mirrors CrawlSimulator.enqueue_batch.
+    """
+    okey = [F.col(c) for c in order_cols]
+    w_dedup = Window.partitionBy("attempt_count", "type", "url").orderBy(*okey)
+    deduped = (
+        entries.withColumn("_dup_rank", F.row_number().over(w_dedup))
+        .withColumn("_is_dup", F.col("_dup_rank") > 1)
+    )
+    deduped = deduped.cache()
+    n_total = deduped.count()
+    n_attenuated = deduped.filter("_is_dup").count()
+    uniq = deduped.filter(~F.col("_is_dup")).drop("_dup_rank", "_is_dup")
+
+    fresh = uniq.filter(F.col("attempt_count") == 0)
+    requeued = uniq.filter(F.col("attempt_count") > 0)
+    skey = _seen_key(F.col("type"), F.col("url"))
+    unseen = fresh.withColumn("_skey", skey).join(
+        seen.select(F.col("seen_key").alias("_skey")), "_skey", "left_anti"
+    ).drop("_skey")
+    accepted = unseen.unionByName(requeued)
+    w_seq = Window.orderBy(*okey)  # epoch-batch sized; see module scale note
+    accepted = accepted.withColumn(
+        "enqueued_seq", (F.row_number().over(w_seq) - 1 + F.lit(next_seq)).cast("long")
+    )
+    new_frontier = accepted.select(*FRONTIER_COLS)
+    new_seen = unseen.select(
+        _seen_key(F.col("type"), F.col("url")).alias("seen_key"),
+        F.xxhash64(_seen_key(F.col("type"), F.col("url"))).alias("seen_hash"),
+        F.lit(seen_epoch).cast("int").alias("first_seen_epoch"),
+    )
+    n_enqueued = accepted.count()
+    n_seen_filtered = n_total - n_attenuated - n_enqueued
+    counters = {"attenuated": n_attenuated, "seen_filtered": n_seen_filtered, "enqueued": n_enqueued}
+    deduped.unpersist()
+    return new_frontier, new_seen, counters
+
+
+class CrawlEngine:
+    """Epoch-batch crawl over a SnapshotStore."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        registry: DataFrame,
+        robots: DataFrame | None = None,
+        host_budget: int = DEFAULT_HOST_BUDGET,
+        batch_budget: int = DEFAULT_BATCH_BUDGET,
+        rng_seed: int = POP_RNG_SEED,
+    ):
+        self.spark = spark
+        self.store = store
+        self.host_budget = host_budget
+        self.batch_budget = batch_budget
+        self.rng_seed = rng_seed
+        self.registry = registry
+        self.robots = robots if robots is not None else spark.createDataFrame(
+            [], "host string, disallow_prefix string"
+        )
+        # per-name fetch dim: status/fail_attempts constant per name in the
+        # fixture (dispatcher storage-first + HTTP fate), latest resolved once
+        self.registry_names = (
+            registry.groupBy("provider", "namespace", "name")
+            .agg(
+                F.first("status").alias("status"),
+                F.first("fail_attempts").alias("fail_attempts"),
+                latest_version_agg(F.col("version")).alias("latest_version"),
+            )
+        )
+        self.visitor_map = visitor_map_df(spark).withColumn(
+            "edge_idx",
+            F.expr(
+                "CASE "
+                + " ".join(
+                    f"WHEN parent_type='{p}' AND child_name='{n}' AND condition='{c}' THEN {i}"
+                    for i, (p, n, _t, _s, c) in enumerate(VISITOR_EDGES)
+                )
+                + " END"
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    def bootstrap(self, seeds: DataFrame) -> dict:
+        """Create snapshot v0 with the seed frontier + seen set."""
+        empty_seen = self.spark.createDataFrame(
+            [], "seen_key string, seen_hash long, first_seen_epoch int"
+        )
+        entries = seeds_to_frontier(seeds)
+        front, seen_new, counters = enqueue_batch(entries, empty_seen, 0, ["_order"], seen_epoch=0)
+        self.store.commit(
+            epoch=-1,
+            replace={"frontier": front, "seen": seen_new},
+            meta={"next_seq": counters["enqueued"], "counters": counters},
+        )
+        return counters
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, epoch: int) -> dict:
+        spark = self.spark
+        snap = self.store.snapshot()
+        next_seq = int(snap.meta.get("next_seq", 0))
+        frontier = self.store.read("frontier")
+        seen = self.store.read("seen")
+
+        eligible = frontier.filter(
+            (F.col("not_before_epoch") <= epoch) & (F.col("parent_epoch") < epoch)
+        )
+        ineligible = frontier.filter(
+            (F.col("not_before_epoch") > epoch) | (F.col("parent_epoch") >= epoch)
+        )
+
+        # -- robots gate (broadcast nested-loop on host+prefix; robots is tiny)
+        rj = eligible.join(
+            F.broadcast(self.robots),
+            (eligible["host"] == self.robots["host"])
+            & F.col("name").startswith(self.robots["disallow_prefix"]),
+            "left",
+        )
+        excluded = rj.filter(self.robots["host"].isNotNull()).select(eligible["*"]).distinct()
+        allowed = rj.filter(self.robots["host"].isNull()).select(eligible["*"])
+
+        # -- per-host politeness budget (S6)
+        scope_rank = F.when(F.col("scope") == "local", 0).otherwise(1)
+        w_host = Window.partitionBy("host").orderBy(scope_rank, "enqueued_seq")
+        budgeted = allowed.withColumn("_host_rank", F.row_number().over(w_host))
+        offered = budgeted.filter(F.col("_host_rank") <= self.host_budget).drop("_host_rank")
+        deferred = budgeted.filter(F.col("_host_rank") > self.host_budget).drop("_host_rank")
+
+        offered = offered.cache()
+        # -- weighted pop order from per-queue counts (S1/S4/S10)
+        counts = {
+            (r["scope"], r["queue"]): r["cnt"]
+            for r in offered.groupBy("scope", "queue").agg(F.count("*").alias("cnt")).collect()
+        }
+        order = pop_schedule(counts, self.batch_budget, epoch_rng(epoch, self.rng_seed))
+        if order:
+            sched_pdf = pd.DataFrame(
+                [(s, q, r, i) for i, (s, q, r) in enumerate(order)],
+                columns=["scope", "queue", "fifo_rank", "pop_index"],
+            )
+            sched_map = spark.createDataFrame(sched_pdf)
+        else:
+            sched_map = spark.createDataFrame([], "scope string, queue string, fifo_rank long, pop_index long")
+
+        w_fifo = Window.partitionBy("scope", "queue").orderBy("enqueued_seq")
+        ranked = offered.withColumn("fifo_rank", (F.row_number().over(w_fifo) - 1).cast("long"))
+        scheduled = ranked.join(F.broadcast(sched_map), ["scope", "queue", "fifo_rank"]).drop("fifo_rank")
+        leftover = ranked.join(F.broadcast(sched_map), ["scope", "queue", "fifo_rank"], "left_anti").drop("fifo_rank")
+
+        # -- fetch simulation + outcome routing (S8/S14, F1-F17 collapsed)
+        outcomes = self._fetch_and_route(scheduled, epoch)
+        outcomes = outcomes.cache()
+
+        processed = outcomes.filter(F.col("outcome") == "Processed")
+        requeues = outcomes.filter(F.col("outcome") == "Requeued").select(
+            "url", "type", "spec_type", "provider", "namespace", "name", "revision",
+            "host", "queue",
+            F.lit("global").alias("scope"),  # repush lands global (S4)
+            "policy",
+            (F.col("attempt_count") + 1).alias("attempt_count"),
+            (F.lit(epoch + 1) + (F.col("attempt_count") + 1) * F.lit(REQUEUE_DELAY_EPOCHS)).alias("not_before_epoch"),
+            F.col("parent_epoch"),
+            F.col("url_hash"),
+            F.lit(0).alias("_grp"),
+            F.col("pop_index").alias("_ord1"),
+            F.lit(0).alias("_ord2"),
+        )
+        deadletters = outcomes.filter(F.col("outcome") == "Deadletter").select(
+            "url", "type", F.lit(epoch).alias("epoch"), F.lit("Throttled").alias("reason"),
+            (F.col("attempt_count") + 1).alias("attempts"),
+        )
+
+        # -- documents landing (K1-K3): fetched payloads + tool outputs
+        docs = self._documents_of(processed, epoch)
+
+        # -- expansion (P1-P24 routing collapsed into the visitor-map join)
+        children = self._expand(processed, epoch)
+
+        new_entries = requeues.unionByName(children)
+        new_frontier_rows, new_seen_rows, counters = enqueue_batch(
+            new_entries, seen, next_seq, ["_grp", "_ord1", "_ord2"], seen_epoch=epoch
+        )
+
+        # -- schedule log
+        log = (
+            excluded.select(
+                F.lit(epoch).alias("epoch"), F.lit(-1).cast("long").alias("pop_index"),
+                "type", "url", "queue", "scope", F.lit("RobotsExcluded").alias("outcome"),
+                F.col("attempt_count").alias("attempt"),
+            )
+            .unionByName(
+                outcomes.select(
+                    F.lit(epoch).alias("epoch"), "pop_index", "type", "url", "queue", "scope",
+                    "outcome", F.col("attempt_count").alias("attempt"),
+                )
+            )
+        )
+
+        # -- metrics (per-partition lineage + counters, north rule)
+        oc = {r["outcome"]: r["cnt"] for r in outcomes.groupBy("outcome").agg(F.count("*").alias("cnt")).collect()}
+        n_excluded = excluded.count()
+        metrics = {
+            "epoch": epoch,
+            "robots_excluded": n_excluded,
+            "scheduled": sum(oc.values()),
+            "processed": oc.get("Processed", 0),
+            "skipped": oc.get("Skipped", 0),
+            "requeued": oc.get("Requeued", 0),
+            "deadlettered": oc.get("Deadletter", 0),
+            **counters,
+        }
+        metrics_df = spark.createDataFrame([metrics])
+
+        new_frontier = (
+            ineligible.select(*FRONTIER_COLS)
+            .unionByName(deferred.select(*FRONTIER_COLS))
+            .unionByName(leftover.select(*FRONTIER_COLS))
+            .unionByName(new_frontier_rows)
+        )
+        new_seen = seen.unionByName(new_seen_rows)
+        harvest = docs.select("doc_id", F.lit(epoch).alias("epoch"))  # K4/K5 delta stream
+
+        self.store.commit(
+            epoch=epoch,
+            replace={"frontier": new_frontier, "seen": new_seen},
+            append={
+                "documents": docs,
+                "schedule_log": log,
+                "deadletters": deadletters,
+                "epoch_metrics": metrics_df,
+                "harvest_events": harvest,
+            },
+            meta={"next_seq": next_seq + counters["enqueued"], "counters": metrics},
+        )
+        offered.unpersist()
+        outcomes.unpersist()
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _fetch_and_route(self, scheduled: DataFrame, epoch: int) -> DataFrame:
+        """Join the scheduled batch against the registry dims and attach
+        outcome + resolved coordinates + payload/source columns."""
+        fetchable = scheduled.filter(F.col("type").isin(*PACKAGE_SPEC_TYPES))
+        nonfetch = scheduled.filter(~F.col("type").isin(*PACKAGE_SPEC_TYPES))
+
+        # null-safe namespace key ('-' sentinel — the canonical null form,
+        # entitySpec.js:48); a plain equi-join would drop null=null matches.
+        ns_key = F.coalesce(F.col("namespace"), F.lit("-")).alias("_ns")
+        names = F.broadcast(
+            self.registry_names.withColumn("_ns", F.coalesce(F.col("namespace"), F.lit("-"))).drop("namespace")
+        )
+        j = fetchable.withColumn("_ns", F.coalesce(F.col("namespace"), F.lit("-"))).join(
+            names, ["provider", "_ns", "name"], "left"
+        )
+        resolved_rev = F.coalesce(F.col("revision"), F.col("latest_version"))
+        j = j.withColumn("resolved_revision", resolved_rev)
+        full = F.broadcast(
+            self.registry.select(
+                "provider",
+                F.coalesce(F.col("namespace"), F.lit("-")).alias("_ns"),
+                "name",
+                F.col("version").alias("resolved_revision"),
+                "payload_spans", "source_type", "source_provider",
+                "source_namespace", "source_name", "source_revision",
+            )
+        )
+        j = j.join(full, ["provider", "_ns", "name", "resolved_revision"], "left")
+        throttled = F.col("attempt_count") < F.col("fail_attempts")
+        outcome = (
+            F.when(F.col("status").isNull(), "Skipped")  # markSkip 'Missing'
+            .when(F.col("status") == 404, "Skipped")
+            .when(
+                throttled,
+                F.when(F.col("attempt_count") + 1 > MAX_REQUEUE_ATTEMPTS, "Deadletter").otherwise("Requeued"),
+            )
+            .when(F.col("payload_spans").isNull(), "Skipped")  # revision not in registry
+            .otherwise("Processed")
+        )
+        # URL rewrite after revision resolution (abstractFetch semantics):
+        # the log keeps the as-scheduled url; documents/expansion use the
+        # resolved coordinate (resolved_* columns).
+        resolved_url = to_url(
+            F.col("spec_type"), F.col("provider"), F.col("namespace"),
+            F.col("name"), F.col("resolved_revision"),
+        )
+        fetched = j.select(
+            *scheduled.columns,
+            outcome.alias("outcome"),
+            F.when(outcome == "Processed", F.col("resolved_revision")).otherwise(F.col("revision")).alias("resolved_rev"),
+            F.when(outcome == "Processed", resolved_url).otherwise(F.col("url")).alias("resolved_url"),
+            "payload_spans", "source_type", "source_provider", "source_namespace",
+            "source_name", "source_revision",
+        )
+        nulls = [
+            F.lit(None).cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>").alias("payload_spans"),
+            F.lit(None).cast("string").alias("source_type"),
+            F.lit(None).cast("string").alias("source_provider"),
+            F.lit(None).cast("string").alias("source_namespace"),
+            F.lit(None).cast("string").alias("source_name"),
+            F.lit(None).cast("string").alias("source_revision"),
+        ]
+        nonfetched = nonfetch.select(
+            *scheduled.columns,
+            F.lit("Processed").alias("outcome"),
+            F.col("revision").alias("resolved_rev"),
+            F.col("url").alias("resolved_url"),
+            *nulls,
+        )
+        return fetched.unionByName(nonfetched).select(
+            *scheduled.columns, "outcome", "resolved_rev", "resolved_url",
+            "payload_spans", "source_type",
+            "source_provider", "source_namespace", "source_name", "source_revision",
+        )
+
+    # ------------------------------------------------------------------
+    def _documents_of(self, processed: DataFrame, epoch: int) -> DataFrame:
+        """Fetched payload spans + tool-output docs (K1/K3 sinks)."""
+        fetched_docs = processed.filter(F.col("payload_spans").isNotNull()).select(
+            F.col("resolved_url").alias("doc_id"),
+            F.col("payload_spans").alias("spans"),
+            F.col("type").alias("doc_type"),
+            F.lit(epoch).alias("epoch"),
+        )
+        tool = processed.filter(F.col("type").isin(*TERMINAL_TYPES))
+        tool_docs = tool.select(
+            to_urn(
+                F.col("spec_type"), F.col("provider"), F.col("namespace"), F.col("name"),
+                F.col("revision"), F.col("type"),
+            ).alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.concat(F.col("type"), F.lit(" output for "), F.col("url")).alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+            F.col("type").alias("doc_type"),
+            F.lit(epoch).alias("epoch"),
+        )
+        return fetched_docs.unionByName(tool_docs)
+
+    # ------------------------------------------------------------------
+    def _expand(self, processed: DataFrame, epoch: int) -> DataFrame:
+        """Visitor-map broadcast join → child frontier entries."""
+        vm = F.broadcast(self.visitor_map)
+        j = processed.join(vm, processed["type"] == vm["parent_type"])
+        cond = (
+            (F.col("condition") == "always")
+            | ((F.col("condition") == "spec_source") & F.col("spec_type").isin(*SOURCE_SPEC_TYPES))
+            | ((F.col("condition") == "spec_package") & F.col("spec_type").isin(*PACKAGE_SPEC_TYPES))
+            | ((F.col("condition") == "has_source") & F.col("source_type").isNotNull())
+        )
+        j = j.filter(cond)
+        is_src_edge = F.col("condition") == "has_source"
+        c_spec_type = F.when(is_src_edge, F.col("source_type")).otherwise(F.col("spec_type"))
+        c_provider = F.when(is_src_edge, F.col("source_provider")).otherwise(F.col("provider"))
+        c_namespace = F.when(is_src_edge, F.col("source_namespace")).otherwise(F.col("namespace"))
+        c_name = F.when(is_src_edge, F.col("source_name")).otherwise(F.col("name"))
+        c_revision = F.when(is_src_edge, F.col("source_revision")).otherwise(F.col("resolved_rev"))
+        c_url = to_url(type_=c_spec_type, provider=c_provider, namespace=c_namespace, name=c_name, revision=c_revision)
+        c_type = F.when(F.col("child_type") == "$spec", F.col("spec_type")).otherwise(F.col("child_type"))
+        return j.select(
+            c_url.alias("url"),
+            c_type.alias("type"),
+            c_spec_type.alias("spec_type"),
+            c_provider.alias("provider"),
+            c_namespace.alias("namespace"),
+            c_name.alias("name"),
+            c_revision.alias("revision"),
+            host_for_provider(c_provider).alias("host"),
+            F.col("queue"),
+            F.col("child_scope").alias("scope"),
+            F.concat(F.split_part(F.col("policy"), F.lit(":"), F.lit(1)), F.lit(":"), F.col("child_name")).alias("policy"),
+            F.lit(0).alias("attempt_count"),
+            F.lit(0).alias("not_before_epoch"),
+            F.lit(epoch).alias("parent_epoch"),
+            F.xxhash64(F.concat(c_type, F.lit("@"), c_url)).alias("url_hash"),
+            F.lit(1).alias("_grp"),
+            F.col("pop_index").alias("_ord1"),
+            F.col("edge_idx").alias("_ord2"),
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, seeds: DataFrame, max_epochs: int = 50) -> list[dict]:
+        """Drain the frontier (or hit max_epochs); returns per-epoch metrics."""
+        self.bootstrap(seeds)
+        all_metrics = []
+        for epoch in range(max_epochs):
+            frontier = self.store.read("frontier")
+            if frontier is None or frontier.isEmpty():
+                break
+            all_metrics.append(self.run_epoch(epoch))
+        return all_metrics
