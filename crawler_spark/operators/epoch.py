@@ -105,12 +105,22 @@ def enqueue_batch(
     next_seq: int,
     order_cols: list[str],
     seen_epoch: int = 0,
+    seen_filters: DataFrame | None = None,
+    n_filter_parts: int = 0,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Attenuation + seen-filter + deterministic seq assignment.
 
     `entries` must carry `_order`-able columns (`order_cols`) defining the
     reference push order. Returns (new_frontier_rows, new_seen_rows,
     counters). Mirrors CrawlSimulator.enqueue_batch.
+
+    When `seen_filters` is given (per-partition bloom/cuckoo states from
+    seenset.build_filters), the seen anti-join is bloom-accelerated:
+    definite-unseen candidates skip the join entirely; only bloom-positive
+    suspects verify against the exact seen table — and the verify joins on
+    the full STRING key, so 64-bit hash collisions cannot false-drop a URL
+    (exactness per the north rule). Result is identical to the plain
+    anti-join; only the physical plan changes.
     """
     okey = [F.col(c) for c in order_cols]
     w_dedup = Window.partitionBy("attempt_count", "type", "url").orderBy(*okey)
@@ -126,9 +136,24 @@ def enqueue_batch(
     fresh = uniq.filter(F.col("attempt_count") == 0)
     requeued = uniq.filter(F.col("attempt_count") > 0)
     skey = _seen_key(F.col("type"), F.col("url"))
-    unseen = fresh.withColumn("_skey", skey).join(
-        seen.select(F.col("seen_key").alias("_skey")), "_skey", "left_anti"
-    ).drop("_skey")
+    if seen_filters is not None:
+        from crawler_spark.operators.seenset import probe_candidates
+
+        # url_hash IS xxhash64('type@url') == seen_hash, so it probes the
+        # same key space the filters were built over.
+        probed = probe_candidates(
+            fresh.withColumn("_skey", skey), seen_filters, "url_hash", n_filter_parts
+        )
+        definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        verified = suspects.join(
+            seen.select(F.col("seen_key").alias("_skey")), "_skey", "left_anti"
+        )
+        unseen = definite.unionByName(verified).drop("_skey")
+    else:
+        unseen = fresh.withColumn("_skey", skey).join(
+            seen.select(F.col("seen_key").alias("_skey")), "_skey", "left_anti"
+        ).drop("_skey")
     accepted = unseen.unionByName(requeued)
     w_seq = Window.orderBy(*okey)  # epoch-batch sized; see module scale note
     accepted = accepted.withColumn(
@@ -159,12 +184,18 @@ class CrawlEngine:
         host_budget: int = DEFAULT_HOST_BUDGET,
         batch_budget: int = DEFAULT_BATCH_BUDGET,
         rng_seed: int = POP_RNG_SEED,
+        use_seen_filters: bool = False,
+        n_filter_parts: int = 16,
     ):
         self.spark = spark
         self.store = store
         self.host_budget = host_budget
         self.batch_budget = batch_budget
         self.rng_seed = rng_seed
+        # bloom/cuckoo-accelerated seen membership (M3): identical results,
+        # smaller anti-join probe side — the 10^10-scale path
+        self.use_seen_filters = use_seen_filters
+        self.n_filter_parts = n_filter_parts
         self.registry = registry
         self.robots = robots if robots is not None else spark.createDataFrame(
             [], "host string, disallow_prefix string"
@@ -289,8 +320,14 @@ class CrawlEngine:
         children = self._expand(processed, epoch)
 
         new_entries = requeues.unionByName(children)
+        seen_filters = None
+        if self.use_seen_filters:
+            from crawler_spark.operators.seenset import build_filters
+
+            seen_filters = build_filters(seen, "seen_hash", self.n_filter_parts)
         new_frontier_rows, new_seen_rows, counters = enqueue_batch(
-            new_entries, seen, next_seq, ["_grp", "_ord1", "_ord2"], seen_epoch=epoch
+            new_entries, seen, next_seq, ["_grp", "_ord1", "_ord2"], seen_epoch=epoch,
+            seen_filters=seen_filters, n_filter_parts=self.n_filter_parts,
         )
 
         # -- schedule log

@@ -1,0 +1,183 @@
+"""Targeted outcome-path scenarios — the batch twins of the reference's
+queue/fetch unit tests: throttle→requeue backoff (goFetch.js:68-75),
+retry-cap deadletter (crawler.js:330-342, cdConfig.js:21), 404 skip
+(baseHandler.js:103-105), push attenuation (attenuatedQueue.js:36-69),
+seen-set filtering (request.js:117-121,247-251), robots exclusion and
+latest-version resolution (baseHandler.js:83-101). Spark engine and
+pure-Python simulator must agree on every path.
+
+MAX_REQUEUE_ATTEMPTS is patched from 5 → 2 in BOTH engines so the
+deadletter path completes in ~6 epochs instead of ~21.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import crawler_spark.operators.epoch as epoch_mod
+import crawler_spark.simulator as sim_mod
+from crawler_spark.data.generators import _spans_py, registry_df, robots_df, seeds_df
+from crawler_spark.operators.epoch import CrawlEngine
+from crawler_spark.simulator import CrawlSimulator
+from crawler_spark.storage.snapshots import SnapshotStore
+
+import random
+
+_rng = random.Random(7)
+
+
+def _reg(name, versions, status=200, fail_attempts=0, source=None):
+    rows = []
+    for i, (v, pre) in enumerate(versions):
+        rows.append(
+            {
+                "provider": "npmjs", "namespace": None, "name": name, "version": v,
+                "is_prerelease": pre, "release_seq": i, "status": status,
+                "fail_attempts": fail_attempts,
+                "source_type": "git" if source else None,
+                "source_provider": "github" if source else None,
+                "source_namespace": source[0] if source else None,
+                "source_name": source[1] if source else None,
+                "source_revision": source[2] if source else None,
+                "payload_spans": _spans_py(f"npmjs/-/{name}/{v}", _rng),
+            }
+        )
+    return rows
+
+
+REGISTRY = (
+    _reg("dead-a", [("1.0.0", False)], fail_attempts=99)       # always 429 → deadletter
+    + _reg("slow-b", [("1.0.0", False)], fail_attempts=1,      # 429 once, then ok
+           source=("shared", "repo", "cafe" * 10))
+    + _reg("gone-c", [("1.0.0", False)], status=404)           # hard 404 → skip
+    + _reg("multi-d", [("1.0.0", False), ("1.1.0", False), ("2.0.0-beta.1", True)],
+           source=("shared", "repo", "cafe" * 10))             # latest resolution + shared source
+    + _reg("plain-e", [("0.1.0", False)], source=("shared", "repo", "cafe" * 10))
+    + _reg("robots-f", [("1.0.0", False)])                     # robots-gated
+)
+
+ROBOTS = [{"host": "registry.npmjs.org", "disallow_prefix": "robots-f"}]
+
+SEEDS = [
+    {"seed_id": 0, "type": "component", "url": "cd:/npm/npmjs/-/dead-a", "queue": "normal", "policy": "default"},
+    {"seed_id": 1, "type": "component", "url": "cd:/npm/npmjs/-/slow-b", "queue": "soon", "policy": "default"},
+    {"seed_id": 2, "type": "component", "url": "cd:/npm/npmjs/-/gone-c/1.0.0", "queue": "normal", "policy": "default"},
+    {"seed_id": 3, "type": "component", "url": "cd:/npm/npmjs/-/multi-d", "queue": "immediate", "policy": "default"},
+    {"seed_id": 4, "type": "component", "url": "cd:/npm/npmjs/-/multi-d", "queue": "later", "policy": "default"},  # dup → attenuated
+    {"seed_id": 5, "type": "component", "url": "cd:/npm/npmjs/-/plain-e", "queue": "normal", "policy": "default"},
+    {"seed_id": 6, "type": "component", "url": "cd:/npm/npmjs/-/robots-f/1.0.0", "queue": "normal", "policy": "default"},
+]
+
+# host budget 6 lets multi-d and plain-e process in the SAME epoch → their
+# shared source child is attenuated in-batch (S2); slow-b's copy arrives in a
+# later epoch → seen_filtered (S3). Tool-task fan-out (6 local rows on one
+# host the next epoch) exercises both the host-budget deferral and the
+# batch-budget leftover paths.
+HOST_BUDGET, BATCH_BUDGET, MAX_EPOCHS = 6, 6, 25
+
+
+@pytest.fixture(scope="module")
+def runs(spark, tmp_path_factory):
+    saved = (sim_mod.MAX_REQUEUE_ATTEMPTS, epoch_mod.MAX_REQUEUE_ATTEMPTS)
+    sim_mod.MAX_REQUEUE_ATTEMPTS = epoch_mod.MAX_REQUEUE_ATTEMPTS = 2
+    try:
+        sim = CrawlSimulator(REGISTRY, ROBOTS, host_budget=HOST_BUDGET, batch_budget=BATCH_BUDGET)
+        sres = sim.run(SEEDS, max_epochs=MAX_EPOCHS)
+        store = SnapshotStore(spark, str(tmp_path_factory.mktemp("scenario")))
+        eng = CrawlEngine(
+            spark, store, registry_df(spark, REGISTRY), robots_df(spark, ROBOTS),
+            host_budget=HOST_BUDGET, batch_budget=BATCH_BUDGET,
+        )
+        eng.run(seeds_df(spark, SEEDS), max_epochs=MAX_EPOCHS)
+        return sres, store
+    finally:
+        sim_mod.MAX_REQUEUE_ATTEMPTS, epoch_mod.MAX_REQUEUE_ATTEMPTS = saved
+
+
+def _key(r):
+    return (r["epoch"], r["pop_index"], r["type"], r["url"], r["queue"], r["scope"], r["outcome"], r["attempt"])
+
+
+def test_schedule_log_parity(runs):
+    sres, store = runs
+    spark_log = [_key(r) for r in store.read("schedule_log").orderBy("epoch", "pop_index", "url").collect()]
+    sim_log = [_key(r) for r in sorted(sres.schedule_log, key=lambda r: (r["epoch"], r["pop_index"], r["url"]))]
+    assert spark_log == sim_log
+
+
+def test_every_outcome_path_exercised(runs):
+    sres, _ = runs
+    outcomes = {r["outcome"] for r in sres.schedule_log}
+    assert outcomes == {"Processed", "Skipped", "Requeued", "Deadletter", "RobotsExcluded"}
+    assert sum(m["attenuated"] for m in sres.metrics) >= 1  # dup seed coalesced
+    assert sum(m["seen_filtered"] for m in sres.metrics) >= 1  # shared source URL
+
+
+def test_deadletter_parity_and_cap(runs):
+    sres, store = runs
+    spark_dead = sorted(
+        (r["url"], r["type"], r["epoch"], r["reason"], r["attempts"])
+        for r in store.read("deadletters").collect()
+    )
+    sim_dead = sorted((d["url"], d["type"], d["epoch"], d["reason"], d["attempts"]) for d in sres.deadletters)
+    assert spark_dead == sim_dead
+    assert len(spark_dead) == 1 and spark_dead[0][0] == "cd:/npm/npmjs/-/dead-a"
+    assert spark_dead[0][4] == 3  # patched cap 2 → dead on attempt 3
+
+
+def test_throttle_backoff_schedule(runs):
+    # slow-b: Requeued at its first schedule, Processed exactly once later,
+    # with not_before honoring epoch+1+attempt (crawler.js:158-176 backoff)
+    sres, _ = runs
+    rows = [r for r in sres.schedule_log if "slow-b" in r["url"] and r["type"] == "npm"]
+    assert [r["outcome"] for r in rows] == ["Requeued", "Processed"]
+    assert rows[1]["epoch"] >= rows[0]["epoch"] + 2
+    assert rows[1]["attempt"] == 1
+    assert rows[1]["scope"] == "global"  # repush lands on global scope (S4)
+
+
+def test_latest_version_resolution_lands_document(runs):
+    # multi-d seeded without revision → resolved to 1.1.0 (prerelease excluded)
+    sres, store = runs
+    docs = {r["doc_id"] for r in store.read("documents").collect()}
+    assert "cd:/npm/npmjs/-/multi-d/1.1.0" in docs
+    assert not any("2.0.0-beta" in d for d in docs)
+    assert docs == set(sres.documents)
+
+
+def test_robots_exclusion(runs):
+    sres, store = runs
+    log = store.read("schedule_log").filter("outcome = 'RobotsExcluded'").collect()
+    assert {r["url"] for r in log} == {"cd:/npm/npmjs/-/robots-f/1.0.0"}
+    # never scheduled, never seen as a fetched document
+    assert not any("robots-f" in d for d in sres.documents)
+
+
+def test_seen_set_parity(runs):
+    sres, store = runs
+    spark_seen = {r["seen_key"]: r["first_seen_epoch"] for r in store.read("seen").collect()}
+    assert spark_seen == sres.seen
+
+
+def test_bloom_accelerated_engine_identical(spark, runs, tmp_path_factory):
+    """use_seen_filters=True (partitioned bloom probe + exact string-key
+    verify, M3) must produce a bit-identical crawl: same schedule log,
+    same seen set. Only the anti-join physical plan differs."""
+    sres, _ = runs
+    saved = (sim_mod.MAX_REQUEUE_ATTEMPTS, epoch_mod.MAX_REQUEUE_ATTEMPTS)
+    sim_mod.MAX_REQUEUE_ATTEMPTS = epoch_mod.MAX_REQUEUE_ATTEMPTS = 2
+    try:
+        store = SnapshotStore(spark, str(tmp_path_factory.mktemp("bloom_eng")))
+        eng = CrawlEngine(
+            spark, store, registry_df(spark, REGISTRY), robots_df(spark, ROBOTS),
+            host_budget=HOST_BUDGET, batch_budget=BATCH_BUDGET,
+            use_seen_filters=True, n_filter_parts=4,
+        )
+        eng.run(seeds_df(spark, SEEDS), max_epochs=MAX_EPOCHS)
+    finally:
+        sim_mod.MAX_REQUEUE_ATTEMPTS, epoch_mod.MAX_REQUEUE_ATTEMPTS = saved
+    spark_log = [_key(r) for r in store.read("schedule_log").orderBy("epoch", "pop_index", "url").collect()]
+    sim_log = [_key(r) for r in sorted(sres.schedule_log, key=lambda r: (r["epoch"], r["pop_index"], r["url"]))]
+    assert spark_log == sim_log
+    spark_seen = {r["seen_key"]: r["first_seen_epoch"] for r in store.read("seen").collect()}
+    assert spark_seen == sres.seen
