@@ -1,0 +1,307 @@
+"""Corpus deduplication operators — the training-data-pipeline layer over
+harvested documents (beyond the reference's per-URL dedup, which only
+guards the frontier: request.js:117-121 / attenuatedQueue.js:36-69; a
+100 TB text corpus also needs *content* dedup).
+
+All operators take a generic ``(id_col, text_col)`` DataFrame so they run
+both on the crawl ``documents`` table and on the driver's testdata.
+
+Scale design notes (per operator):
+
+* exact:   one groupBy on a 256-bit content hash — map-side partial agg,
+           single shuffle keyed on the hash (uniformly distributed, no
+           skew by construction).
+* n-gram Jaccard: explode(distinct shingles) self-join. The classic
+           quadratic blowup is bounded by dropping ultra-common shingles
+           (`max_shingle_freq`, a stop-shingle filter) — the same trick
+           as stop-word removal in MinHashLSH implementations.
+* MinHash: signatures are computed WITHOUT a shuffle — a per-row
+           projection `array_min(transform(shingles, s → xxhash64(s, i)))`
+           for each of the k hash seeds (whole-stage codegen, no explode).
+           Only the LSH band join shuffles, keyed on (band_idx, band_hash).
+* SimHash: same shape — per-row fingerprint projection, then a 4-chunk
+           band join for hamming-distance candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (shared, deterministic, SQL-mirrorable)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens; punctuation stripped. Mirrors the DuckDB
+    oracle expression exactly (regexp_replace + split on spaces)."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", " ")
+    return F.filter(F.split(cleaned, r" +"), lambda t: t != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the token stream. Empty when the
+    doc has fewer than n tokens (sequence() would otherwise run backwards
+    — Spark descends when start > stop)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-content duplicate groups: sha256 over the raw text.
+
+    Returns (content_hash, n_members, representative_id=min id, member_ids
+    sorted) for groups with >1 member. One hash-keyed shuffle; partial
+    count/min happen map-side.
+    """
+    h = F.sha2(F.col(text_col).cast("string"), 256)
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("id").alias("representative_id"),
+            F.array_sort(F.collect_list("id")).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct content (min id wins — deterministic)."""
+    h = F.sha2(F.col(text_col).cast("string"), 256)
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup, SQL-oracle-able)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard similarity ≥ threshold.
+
+    explode(distinct shingles) → self-join on shingle → |A∩B| per pair →
+    join per-doc shingle counts → J = inter / (|A|+|B|-inter).
+    `max_shingle_freq` drops shingles appearing in more than that many
+    docs before the join (stop-shingle guard against quadratic hot keys).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    exploded = sh.select("id", F.explode("sh").alias("g"))
+    if max_shingle_freq is not None:
+        hot = (
+            exploded.groupBy("g").agg(F.count("*").alias("c"))
+            .filter(F.col("c") > max_shingle_freq)
+            .select("g")
+        )
+        exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, n: int = 3
+) -> DataFrame:
+    """k-component MinHash signature per document, shuffle-free.
+
+    Each component i = min over shingles of xxhash64(shingle, seed=i) —
+    expressed as array_min(transform(...)): a pure projection the JVM
+    codegens; no explode, no aggregation shuffle. Empty shingle sets are
+    dropped (signature undefined).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    def _hash_with_seed(seed: int):
+        # closure factory — a 2-param lambda (even with a default) would be
+        # given (element, index) by PySpark, silently replacing the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("sh"), _hash_with_seed(i))) for i in range(num_hashes)]
+    )
+    return sh.select("id", sig.alias("signature"), F.size("sh").alias("n_sh"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures; docs sharing any (band_idx, band_hash) bucket
+    become candidate pairs. Shuffle key is the band hash — uniform, so no
+    skew; bucket sizes are bounded by near-dup cluster sizes.
+    """
+    bands = signatures.select(
+        "id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    n: int = 3,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→estimate pipeline: candidate pairs with estimated
+    Jaccard = matching-component fraction ≥ threshold."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    pairs = lsh_candidate_pairs(sigs, num_bands, rows_per_band)
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(num_hashes)
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (hamming-distance near-dup)
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (Charikar 2002): per-token 64-bit hash,
+    per-bit majority vote. Pure projection: for each bit b, count tokens
+    whose hash has bit b set; bit set in the fingerprint iff count*2 >
+    n_tokens. Unweighted tokens (weight = term frequency via non-distinct
+    token list)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_flag(b: int):  # majority vote for bit b (python-int bit index)
+        vote = F.size(F.filter(hashes, lambda h: F.getbit(h, F.lit(b)) == 1))
+        return F.when(vote * 2 > n_tok, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    def pack(bits: list[int]):  # Σ flag_b·2^(b-bits[0]) — stays < 2^32, no ANSI overflow
+        acc = F.lit(0).cast("long")
+        for b in reversed(bits):
+            acc = acc * 2 + bit_flag(b)
+        return acc
+
+    # assemble as two 32-bit halves (shiftleft takes a literal count; the
+    # halves keep every intermediate below 2^32 under ANSI arithmetic)
+    fp = F.shiftleft(pack(list(range(32, 64))), 32).bitwiseOR(pack(list(range(0, 32))))
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"), n_tok.alias("n_tokens"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within `max_hamming` bits. Candidate generation: split the
+    64-bit fingerprint into 4 16-bit chunks — any pair within hamming
+    distance 3 must agree on ≥1 chunk (pigeonhole), so join per chunk,
+    then verify exact hamming via bit_count(xor)."""
+    fps = simhash_fingerprints(df, id_col, text_col).filter(F.col("n_tokens") > 0)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"), F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,235 @@
+"""Embedding similarity search: brute-force cosine top-k (exact baseline)
+plus two approximate scale paths — random-hyperplane LSH bucketing and an
+IVF-style coarse quantizer. Training-data-pipeline layer (embedding-cosine
+near-dup, ANN retrieval) over an ``(id, embedding: array<float>)`` table.
+
+Scale design:
+
+* brute force — a single projection (zip_with dot product) + top-k; exact,
+  O(N·d), the correctness oracle. At 100 TB this is the per-partition
+  re-rank primitive, not the global search.
+* LSH — `n_planes` deterministic hyperplanes (components derived from
+  xxhash64(dim, plane) — no stored model, reproducible everywhere); sign
+  pattern = bucket id. Query probes its own bucket only → candidate set
+  shrinks by ~2^n_planes; shuffle keys are bucket ids (uniform by
+  construction).
+* IVF — coarse centroids picked deterministically (every (N/m)-th vector
+  by id — seeded sampling without an iterative k-means fit, good enough
+  for a quantizer), vectors assigned to nearest centroid (broadcast
+  centroid table, map-side argmin — no shuffle), probe the `n_probe`
+  nearest centroid cells at query time and brute-force only those.
+
+Everything is JVM-side `zip_with`/`aggregate` arithmetic — no Python in
+the distance hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential double accumulation —
+    deterministic, matches the DuckDB list oracle exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# exact brute-force top-k
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector. One projection +
+    a global top-k (Spark's orderBy+limit = per-partition top-k then a
+    single-reduce merge — no full sort shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col).alias("id"), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def pairwise_cosine_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs
+    sharing a hyperplane-sign bucket are compared exactly (bucketing is a
+    recall/cost knob; same-bucket collision probability rises with cosine
+    similarity — Charikar's SimHash bound: P = (1 - θ/π)^n_planes)."""
+    bucketed = with_lsh_bucket(df, n_planes, vec_col)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH: deterministic random-hyperplane sign buckets
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(plane: int, dim_idx: Column) -> Column:
+    """Pseudo-random hyperplane component in [-1, 1): derived from
+    xxhash64(dim, plane) — the 'model' is a formula, not a table."""
+    h = F.xxhash64(dim_idx, F.lit(plane))
+    return (F.pmod(h, F.lit(2_000_001)) - F.lit(1_000_000)) / F.lit(1_000_000.0)
+
+
+def with_lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """Adds `bucket: long` — the n_planes-bit sign pattern of projections
+    onto the deterministic hyperplanes."""
+    vec_i = F.zip_with(
+        F.col(vec_col),
+        F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+        lambda v, i: F.struct(v.alias("v"), i.alias("i")),
+    )
+    def _proj_merge(p: int):
+        # closure factory: PySpark counts lambda params, so the plane index
+        # must be captured, not passed as a default arg
+        return lambda acc, s: acc + s["v"].cast("double") * _plane_component(p, s["i"])
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(vec_i, F.lit(0.0), _proj_merge(p))
+        bucket = bucket.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: brute-force cosine within the query's sign
+    bucket only. Deterministic; recall trades against 2^n_planes. The
+    query's bucket is computed Spark-side with the same expressions, so
+    hash semantics are identical (no Python xxhash64 reimplementation)."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(list(map(float, query)),)], f"{vec_col} array<double>")
+    qbucket = with_lsh_bucket(qdf, n_planes, vec_col).collect()[0]["bucket"]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cand = with_lsh_bucket(df, n_planes, vec_col).filter(F.col("bucket") == qbucket)
+    sim = cosine(F.col(vec_col), q)
+    return (
+        cand.select(F.col(id_col).alias("id"), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: deterministic coarse quantizer + n_probe search
+# ---------------------------------------------------------------------------
+
+
+def ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned) — centroids are the vectors whose id ranks
+    them at every (N/n_cells)-th position (deterministic sampling, the
+    'train' step); every vector is assigned to its nearest centroid via a
+    broadcast cross-join + per-id argmin (min_by), map-side only."""
+    n = df.count()
+    step = max(n // n_cells, 1)
+    w = Window.orderBy(F.col(id_col))
+    centroids = (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter((F.col("_rank") % step == 1) & (F.col("_rank") <= step * n_cells))
+        .select(
+            ((F.col("_rank") - 1) / step).cast("int").alias("cell_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    joined = df.crossJoin(F.broadcast(centroids))
+    d = dot(F.col(vec_col), F.col("centroid"))
+    na, nb = l2_norm(F.col(vec_col)), l2_norm(F.col("centroid"))
+    sim = d / (na * nb)
+    assigned = (
+        joined.groupBy(id_col)
+        .agg(
+            F.max_by("cell_id", F.struct(sim.alias("s"), (-F.col("cell_id")).alias("t"))).alias("cell_id"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+    return centroids, assigned
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest cells, brute-force within them."""
+    centroids, assigned = ivf_index(df, n_cells, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    probe_cells = [
+        r["cell_id"]
+        for r in centroids.select(
+            "cell_id", (dot(F.col("centroid"), q) / (l2_norm(F.col("centroid")) * l2_norm(q))).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("cell_id"))
+        .limit(n_probe)
+        .collect()
+    ]
+    cand = assigned.filter(F.col("cell_id").isin(probe_cells))
+    sim = cosine(F.col(vec_col), q)
+    return (
+        cand.select(F.col(id_col).alias("id"), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("id"))
+        .limit(k)
+    )
