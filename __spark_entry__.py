@@ -1,38 +1,744 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(crawl-engine relational semantics re-expressed over the driver's
+TPC-H-ish tables) or one training-data-pipeline operator
+(dedup / similarity / text analysis / multimodal) from
+``crawler_spark.operators``. ``oracle_sql()`` carries the DuckDB twin;
+operators whose hashing primitives DuckDB lacks (xxhash64-based MinHash /
+SimHash / LSH / IVF) are rows-only per the contract.
+
+Column names are aliased identically on both sides; all floating results
+are rounded to 6 places (decimal types used where sums must be exact).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: one scheduling epoch's deterministic ranking (S1/S4/S6 minus the
+# seeded RNG interleave, which is exercised by the parity tests instead)
+# ---------------------------------------------------------------------------
+
+_QUEUE_OF_EVENT = {
+    "error": "immediate", "purchase": "soon", "signup": "soon",
+    "view": "normal", "click": "later",
+}
+_QUEUE_WEIGHT = {"immediate": 0, "soon": 1, "normal": 2, "later": 3}
+
+
+def q_schedule_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: frontier = events; robots-free epoch plan: per-host
+    politeness budget (row_number ≤ 5 per host, local scope first —
+    crawler.js:92-105 batch analogue) then priority ranking
+    (queueSet.js:60-76 weights) capped at a 200-pop batch budget."""
+    ev = _t(spark, sf_dir, "events")
+    queue = F.coalesce(
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in _QUEUE_OF_EVENT.items()]
+    )
+    weight = F.coalesce(
+        *[F.when(queue == k, F.lit(v)) for k, v in _QUEUE_WEIGHT.items()]
+    )
+    frontier = ev.select(
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 10).alias("host"),
+        queue.alias("queue"),
+        weight.alias("weight"),
+        F.when(F.col("value") < 50, 0).otherwise(1).alias("scope_rank"),
+    )
+    w_host = Window.partitionBy("host").orderBy("scope_rank", "seq")
+    offered = frontier.withColumn("host_rank", F.row_number().over(w_host)).filter(
+        F.col("host_rank") <= 5
+    )
+    w_pop = Window.orderBy("scope_rank", "weight", "seq")
+    return (
+        offered.withColumn("pop_index", F.row_number().over(w_pop))
+        .filter(F.col("pop_index") <= 200)
+        .select("pop_index", "seq", "host", "queue", "scope_rank", "host_rank")
+    )
+
+
+_SQL_SCHEDULE_EPOCH = """
+WITH frontier AS (
+  SELECT event_id AS seq,
+         user_id % 10 AS host,
+         CASE event_type WHEN 'error' THEN 'immediate' WHEN 'purchase' THEN 'soon'
+              WHEN 'signup' THEN 'soon' WHEN 'view' THEN 'normal' ELSE 'later' END AS queue,
+         CASE event_type WHEN 'error' THEN 0 WHEN 'purchase' THEN 1
+              WHEN 'signup' THEN 1 WHEN 'view' THEN 2 ELSE 3 END AS weight,
+         CASE WHEN value < 50 THEN 0 ELSE 1 END AS scope_rank
+  FROM events
+), offered AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY scope_rank, seq) AS host_rank
+  FROM frontier QUALIFY host_rank <= 5
+)
+SELECT row_number() OVER (ORDER BY scope_rank, weight, seq) AS pop_index,
+       seq, host, queue, scope_rank, host_rank
+FROM offered QUALIFY pop_index <= 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine relational families (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_project(spark, sf_dir):
+    """Scan + projection + predicate pushdown (dispatcher storage reads)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 300)
+        .select("doc_id", "n_chars", "lang")
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """S3 hasSeen: left anti join (parts never referenced by lineitem)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(li, part["p_partkey"] == li["l_partkey"], "left_anti").select(
+        "p_partkey", "p_brand"
+    )
+
+
+def q_attenuation_dedup(spark, sf_dir):
+    """S2 AttenuatedQueue: first push per key wins within the window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id", "event_type", F.col("event_id").alias("first_event_id"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def q_host_budget(spark, sf_dir):
+    """S6 per-host politeness budget: top-3 per host partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("user_id").alias("host"), "event_id", "rnk")
+    )
+
+
+def q_backoff_routing(spark, sf_dir):
+    """S7/S8 retry budget routing: attempt+1 > 5 → deadletter."""
+    ev = _t(spark, sf_dir, "events")
+    attempt = ev["event_id"] % 7
+    routed = ev.select(
+        F.when(attempt + 1 > 5, "deadletter")
+        .when(F.col("event_type") == "error", "requeue")
+        .otherwise("process")
+        .alias("routing"),
+        (attempt + 1).alias("next_attempt"),
+    )
+    return routed.groupBy("routing").agg(
+        F.count("*").alias("n"), F.max("next_attempt").alias("max_attempt")
+    )
+
+
+def q_queue_counts(spark, sf_dir):
+    """S15 queue getInfo: counts + exact decimal totals per priority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("queue")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+
+
+def q_scope_publish(spark, sf_dir):
+    """S5 local→global publish: unionByName of two scoped slices."""
+    c = _t(spark, sf_dir, "customer")
+    local = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("local").alias("scope")
+    )
+    glob = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.lit("global").alias("scope")
+    )
+    return local.unionByName(glob)
+
+
+def q_visitor_expand(spark, sf_dir):
+    """Visitor-map expansion: broadcast inner join + count fan-out."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+def q_latest_maxby(spark, sf_dir):
+    """Latest-version resolution shape (baseHandler.js:83-96): max_by over
+    a strictly ordered key — most recent order per customer."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.unix_timestamp("o_orderdate") * 100000 + F.col("o_orderkey")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max_by("o_orderkey", key).alias("latest_orderkey"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_fetch_join(spark, sf_dir):
+    """Fetch-simulation join shape: multi-table hash join + exact agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_semver_latest(spark, sf_dir):
+    """Semver latest per group, prereleases excluded with deterministic
+    fallback (lib/baseHandler.js:83-101) — versions synthesized from part."""
+    from crawler_spark.functions.versions import latest_version_agg
+
+    p = _t(spark, sf_dir, "part")
+    version = F.concat_ws(
+        "",
+        (F.col("p_size") % 9).cast("string"), F.lit("."),
+        (F.col("p_partkey") % 20).cast("string"), F.lit("."),
+        (F.col("p_partkey") % 7).cast("string"),
+        F.when(F.col("p_partkey") % 5 == 0, "-beta.1").otherwise(""),
+    )
+    return (
+        p.select(F.col("p_brand").alias("brand"), version.alias("version"))
+        .groupBy("brand")
+        .agg(latest_version_agg(F.col("version")).alias("latest"))
+    )
+
+
+def q_nuget_normalize(spark, sf_dir):
+    """NuGet version normalization (nugetFetch.js:81-85) over synthesized
+    zero-padded versions."""
+    from crawler_spark.functions.versions import nuget_normalize
+
+    p = _t(spark, sf_dir, "part")
+    version = F.format_string(
+        "%d.%02d.%d%s",
+        F.col("p_size") % 9,
+        F.col("p_partkey") % 20,
+        F.col("p_partkey") % 7,
+        F.when(F.col("p_partkey") % 11 == 0, "-Beta").otherwise(""),
+    )
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        version.alias("version"),
+        nuget_normalize(version).alias("normalized"),
+    )
+
+
+def q_coord_parse(spark, sf_dir):
+    """EntitySpec parse + canonicalize (entitySpec.js:10-53) over URLs
+    synthesized from part."""
+    from crawler_spark.functions.coordinates import with_parsed_coordinates
+
+    p = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("cd:/NPM/NPMJS/"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("-")).otherwise(
+            F.concat(F.lit("ns"), (F.col("p_partkey") % 5).cast("string"))
+        ),
+        F.lit("/pkg-"), F.col("p_partkey").cast("string"),
+        F.lit("/1."), (F.col("p_size") % 10).cast("string"), F.lit(".0"),
+    )
+    parsed = with_parsed_coordinates(p.select(url.alias("url")))
+    return parsed.select(
+        "url", "type", "provider", "namespace", "name", "revision", "canonical_url"
+    )
+
+
+def q_urn_render(spark, sf_dir):
+    """toUrn rendering (entitySpec.js:55-62)."""
+    from crawler_spark.functions.coordinates import to_urn
+
+    p = _t(spark, sf_dir, "part")
+    ns = F.when(F.col("p_partkey") % 3 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("ns"), (F.col("p_partkey") % 5).cast("string"))
+    )
+    name = F.concat(F.lit("pkg-"), F.col("p_partkey").cast("string"))
+    rev = F.concat(F.lit("1."), (F.col("p_size") % 10).cast("string"), F.lit(".0"))
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        to_urn(F.lit("npm"), F.lit("npmjs"), ns, name, rev, F.lit("scancode"), F.lit("32.1.0")).alias("urn"),
+    )
+
+
+def q_content_hashes(spark, sf_dir):
+    """sha256/md5 content hashing (baseHandler.js:36-61, attachment tokens
+    abstractProcessor.js:86-88)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(F.col("text")).alias("md5_hex"),
+    )
+
+
+def q_politeness_gate(spark, sf_dir):
+    """S6 not_before gate: time-window + value predicate then count."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("ts") < "2024-01-15 00:00:00") & (F.col("value") >= 10))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_fifo_topk(spark, sf_dir):
+    """S10 FIFO order + top-k slice (top.js paging)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.orderBy("ts", "event_id").limit(100).select("event_id", "user_id", "event_type")
+
+
+def q_du_summary(spark, sf_dir):
+    """P16 _addSummaryInfo: du count+size per subtree (here: per source)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    """Exact dedup via normalized-content fingerprint: representative =
+    min doc_id per fingerprint group + group size."""
+    from crawler_spark.operators.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id",
+        "fp",
+        F.min("doc_id").over(w).alias("representative_id"),
+        F.count("*").over(w).alias("n_members"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs ≥ 0.5 (exact, SQL-oracled)."""
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash(64)+LSH(16×4) near-dup pairs ≥ 0.5 — rows-only oracle
+    (xxhash64 not available in DuckDB)."""
+    from crawler_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, "doc_id", "text", threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash hamming ≤ 3 near-dup pairs — rows-only oracle."""
+    from crawler_spark.operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
+
+
+def q_token_quality(spark, sf_dir):
+    """Token counting + quality features (C4/Gopher-style filters)."""
+    from crawler_spark.operators.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d, "doc_id", "text").select(
+        "id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def q_langid(spark, sf_dir):
+    """Heuristic language ID (stopword argmax) vs the table's own label."""
+    from crawler_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("lang_label"), lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 to the vec_id=0 embedding (exact ANN
+    baseline)."""
+    from crawler_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return cosine_topk(emb, q, k=10)
+
+
+def q_embed_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.8 (exact pairwise)."""
+    from crawler_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= 0.8
+    )
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket histogram — rows-only oracle."""
+    from crawler_spark.operators.similarity import with_lsh_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return with_lsh_bucket(emb, 8).groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10 (n_cells=16, n_probe=4) — rows-only oracle."""
+    from crawler_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return ivf_ann_topk(emb, q, k=10, n_cells=16, n_probe=4)
+
+
+def q_media_decode(spark, sf_dir):
+    """Multimodal decode plumbing: synthesize media blobs from documents,
+    decode via Arrow mapInPandas, return the SQL-mirrorable fields."""
+    from crawler_spark.operators.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("urn:attachment:"), F.sha2(F.col("doc_id").cast("string"), 256)).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.concat(F.lit("blob:"), F.col("doc_id").cast("string")), "utf-8").alias("content"),
+        F.create_map(F.lit("doc_id"), F.col("doc_id").cast("string")).alias("meta"),
+    )
+    return decode_media(media).select("media_ref", "content_sha256", "n_bytes")
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints — rows-only oracle (xxhash64)."""
+    from crawler_spark.operators.textstats import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, "doc_id", "text").select(
+        "id", F.size("fingerprints").alias("n_fingerprints")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_schedule_epoch(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_schedule_epoch": q_schedule_epoch,
+        "q_scan_project": q_scan_project,
+        "q_seen_antijoin": q_seen_antijoin,
+        "q_attenuation_dedup": q_attenuation_dedup,
+        "q_host_budget": q_host_budget,
+        "q_backoff_routing": q_backoff_routing,
+        "q_queue_counts": q_queue_counts,
+        "q_scope_publish": q_scope_publish,
+        "q_visitor_expand": q_visitor_expand,
+        "q_latest_maxby": q_latest_maxby,
+        "q_fetch_join": q_fetch_join,
+        "q_semver_latest": q_semver_latest,
+        "q_nuget_normalize": q_nuget_normalize,
+        "q_coord_parse": q_coord_parse,
+        "q_urn_render": q_urn_render,
+        "q_content_hashes": q_content_hashes,
+        "q_politeness_gate": q_politeness_gate,
+        "q_fifo_topk": q_fifo_topk,
+        "q_du_summary": q_du_summary,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_near_dups": q_minhash_near_dups,
+        "q_simhash_near_dups": q_simhash_near_dups,
+        "q_token_quality": q_token_quality,
+        "q_langid": q_langid,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embed_near_pairs": q_embed_near_pairs,
+        "q_lsh_buckets": q_lsh_buckets,
+        "q_ivf_topk": q_ivf_topk,
+        "q_media_decode": q_media_decode,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(regexp_replace(lower({col}), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')"
+)
+
+
+def _sql_stop_hits(col: str, words: tuple[str, ...]) -> str:
+    wl = ", ".join(f"''{w}''" if False else f"'{w}'" for w in words)
+    return f"len(list_filter({_SQL_TOKENS.format(col=col)}, t -> t IN ({wl})))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_spark.operators.textstats import LANGS, STOPWORDS
+
+    toks = _SQL_TOKENS.format(col="text")
+    stop_en = _sql_stop_hits("text", STOPWORDS["en"])
+    # lang-id argmax with LANGS-order tie-break, mirrored as nested CASE
+    hit_exprs = {lg: _sql_stop_hits("text", STOPWORDS[lg]) for lg in LANGS}
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in LANGS) + ")"
+    lang_case = "CASE"
+    for lg in LANGS:
+        lang_case += f" WHEN h_{lg} = best AND best > 0 THEN '{lg}'"
+    lang_case += " ELSE 'und' END"
+
+    return {
+        "q_schedule_epoch": _SQL_SCHEDULE_EPOCH,
+        "q_scan_project": "SELECT doc_id, n_chars, lang FROM documents WHERE n_chars > 300",
+        "q_seen_antijoin": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+        """,
+        "q_attenuation_dedup": """
+            SELECT user_id, event_type, event_id AS first_event_id, round(value, 6) AS value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        """,
+        "q_host_budget": """
+            SELECT user_id AS host, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+            FROM events QUALIFY rnk <= 3
+        """,
+        "q_backoff_routing": """
+            WITH routed AS (
+              SELECT CASE WHEN event_id % 7 + 1 > 5 THEN 'deadletter'
+                          WHEN event_type = 'error' THEN 'requeue'
+                          ELSE 'process' END AS routing,
+                     event_id % 7 + 1 AS next_attempt
+              FROM events)
+            SELECT routing, count(*) AS n, max(next_attempt) AS max_attempt
+            FROM routed GROUP BY routing
+        """,
+        "q_queue_counts": """
+            SELECT o_orderpriority AS queue, count(*) AS n,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_scope_publish": """
+            SELECT c_custkey, 'local' AS scope FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT c_custkey, 'global' AS scope FROM customer WHERE c_acctbal < 0
+        """,
+        "q_visitor_expand": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_latest_maxby": """
+            SELECT o_custkey AS custkey,
+                   arg_max(o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) * 100000 + o_orderkey) AS latest_orderkey,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "q_fetch_join": """
+            SELECT n_name,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_semver_latest": """
+            WITH v AS (
+              SELECT p_brand AS brand,
+                     CAST(p_size % 9 AS VARCHAR) || '.' || CAST(p_partkey % 20 AS VARCHAR)
+                       || '.' || CAST(p_partkey % 7 AS VARCHAR)
+                       || CASE WHEN p_partkey % 5 = 0 THEN '-beta.1' ELSE '' END AS version,
+                     p_partkey % 5 = 0 AS is_pre,
+                     (CAST(p_size % 9 AS BIGINT) << 40) + (CAST(p_partkey % 20 AS BIGINT) << 20)
+                       + CAST(p_partkey % 7 AS BIGINT) AS key
+              FROM part)
+            SELECT brand,
+                   coalesce(arg_max(version, key) FILTER (WHERE NOT is_pre), max(version)) AS latest
+            FROM v GROUP BY brand
+        """,
+        "q_nuget_normalize": """
+            WITH v AS (
+              SELECT p_partkey AS partkey,
+                     printf('%d.%02d.%d%s', p_size % 9, p_partkey % 20, p_partkey % 7,
+                            CASE WHEN p_partkey % 11 = 0 THEN '-Beta' ELSE '' END) AS version
+              FROM part)
+            SELECT partkey, version,
+                   array_to_string(
+                     list_transform(string_split(split_part(version, '-', 1), '.'),
+                       x -> CASE WHEN regexp_replace(x, '^0+', '') = '' THEN '0'
+                                 ELSE regexp_replace(x, '^0+', '') END), '.')
+                   || CASE WHEN contains(version, '-') THEN '-' || split_part(version, '-', 2) ELSE '' END
+                   AS normalized
+            FROM v
+        """,
+        "q_coord_parse": """
+            WITH u AS (
+              SELECT 'cd:/NPM/NPMJS/' ||
+                     CASE WHEN p_partkey % 3 = 0 THEN '-' ELSE 'ns' || CAST(p_partkey % 5 AS VARCHAR) END
+                     || '/pkg-' || CAST(p_partkey AS VARCHAR)
+                     || '/1.' || CAST(p_size % 10 AS VARCHAR) || '.0' AS url
+              FROM part),
+            p AS (
+              SELECT url,
+                     lower(regexp_extract(url, '.*:/*([^/]+)/([^/]+)/([^/]+)/([^/]+)/?([^/]+)?', 1)) AS type,
+                     lower(regexp_extract(url, '.*:/*([^/]+)/([^/]+)/([^/]+)/([^/]+)/?([^/]+)?', 2)) AS provider,
+                     nullif(regexp_extract(url, '.*:/*([^/]+)/([^/]+)/([^/]+)/([^/]+)/?([^/]+)?', 3), '-') AS namespace,
+                     regexp_extract(url, '.*:/*([^/]+)/([^/]+)/([^/]+)/([^/]+)/?([^/]+)?', 4) AS name,
+                     nullif(regexp_extract(url, '.*:/*([^/]+)/([^/]+)/([^/]+)/([^/]+)/?([^/]+)?', 5), '') AS revision
+              FROM u)
+            SELECT url, type, provider, namespace, name, revision,
+                   'cd:/' || type || '/' || provider || '/' || coalesce(namespace, '-') || '/' || name
+                   || coalesce('/' || revision, '') AS canonical_url
+            FROM p
+        """,
+        "q_urn_render": """
+            SELECT p_partkey AS partkey,
+                   'urn:npm:npmjs:' ||
+                   CASE WHEN p_partkey % 3 = 0 THEN '-' ELSE 'ns' || CAST(p_partkey % 5 AS VARCHAR) END
+                   || ':pkg-' || CAST(p_partkey AS VARCHAR)
+                   || ':revision:1.' || CAST(p_size % 10 AS VARCHAR) || '.0'
+                   || ':tool:scancode:32.1.0' AS urn
+            FROM part
+        """,
+        "q_content_hashes": """
+            SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex FROM documents
+        """,
+        "q_politeness_gate": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE ts < TIMESTAMP '2024-01-15 00:00:00' AND value >= 10
+            GROUP BY event_type
+        """,
+        "q_fifo_topk": """
+            SELECT event_id, user_id, event_type FROM events ORDER BY ts, event_id LIMIT 100
+        """,
+        "q_du_summary": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "q_dedup_fingerprint": f"""
+            WITH fp AS (SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents)
+            SELECT doc_id, fp,
+                   min(doc_id) OVER (PARTITION BY fp) AS representative_id,
+                   count(*) OVER (PARTITION BY fp) AS n_members
+            FROM fp
+        """,
+        "q_ngram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, {toks} AS t FROM documents),
+            sh AS (
+              SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+              FROM toks WHERE len(t) >= 3),
+            sizes AS (SELECT id, len(grams) AS n_sh FROM sh),
+            ex AS (SELECT id, unnest(grams) AS g FROM sh),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        """,
+        "q_token_quality": f"""
+            SELECT doc_id AS id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text)
+                         ELSE 0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) > 0
+                         THEN {stop_en}::DOUBLE / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                         ELSE 0 END, 6) AS stopword_ratio,
+                   round(
+                     least(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) / 20.0, 1.0) * 0.4
+                     + (1.0 - least(CASE WHEN length(text) > 0
+                           THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text)
+                           ELSE 0 END * 4, 1.0)) * 0.2
+                     + least(CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) > 0
+                           THEN {stop_en}::DOUBLE / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                           ELSE 0 END * 5, 1.0) * 0.3
+                     + (1.0 - CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) > 0
+                           THEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                                / length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                           ELSE 0 END) * 0.1
+                   , 6) AS quality_score
+            FROM documents
+        """,
+        "q_langid": f"""
+            WITH h AS (
+              SELECT doc_id, lang AS lang_label,
+                     {', '.join(f'{hit_exprs[lg]} AS h_{lg}' for lg in LANGS)}
+              FROM documents),
+            b AS (SELECT *, {best} AS best FROM h)
+            SELECT doc_id, lang_label, {lang_case} AS lang_pred FROM b
+        """,
+        "q_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id AS id,
+                   round(
+                     list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * qe[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine_sim
+            FROM embeddings, q
+            ORDER BY cosine_sim DESC, id LIMIT 10
+        """,
+        "q_embed_near_pairs": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_sum(list_transform(a.embedding, (x, i) -> x::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT * FROM p WHERE cosine_sim >= 0.8
+        """,
+        "q_media_decode": """
+            SELECT 'urn:attachment:' || sha256(CAST(doc_id AS VARCHAR)) AS media_ref,
+                   sha256('blob:' || CAST(doc_id AS VARCHAR)) AS content_sha256,
+                   5 + length(CAST(doc_id AS VARCHAR)) AS n_bytes
+            FROM documents
+        """,
+        # q_minhash_near_dups / q_simhash_near_dups / q_lsh_buckets /
+        # q_ivf_topk / q_winnow_fingerprints: xxhash64-based — rows-only.
+    }

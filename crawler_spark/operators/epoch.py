@@ -262,12 +262,24 @@ class CrawlEngine:
         excluded = rj.filter(self.robots["host"].isNotNull()).select(eligible["*"]).distinct()
         allowed = rj.filter(self.robots["host"].isNull()).select(eligible["*"])
 
-        # -- per-host politeness budget (S6)
+        # -- per-host politeness budget (S6), hot-host-salted (SURVEY §4):
+        # two-phase top-k keeps every window partition bounded even when a
+        # Zipf-head host owns most of the frontier. Identical result to a
+        # plain per-host row_number ≤ budget (parity-tested).
+        from crawler_spark.operators.skew import salted_topk_per_group
+
         scope_rank = F.when(F.col("scope") == "local", 0).otherwise(1)
-        w_host = Window.partitionBy("host").orderBy(scope_rank, "enqueued_seq")
-        budgeted = allowed.withColumn("_host_rank", F.row_number().over(w_host))
-        offered = budgeted.filter(F.col("_host_rank") <= self.host_budget).drop("_host_rank")
-        deferred = budgeted.filter(F.col("_host_rank") > self.host_budget).drop("_host_rank")
+        budgeted = allowed.withColumn("_scope_rank", scope_rank)
+        offered, deferred = salted_topk_per_group(
+            budgeted,
+            ["host"],
+            ["_scope_rank", "enqueued_seq"],
+            self.host_budget,
+            n_salts=8,
+            salt_on="enqueued_seq",
+        )
+        offered = offered.drop("_scope_rank", "_host_rank", "_rank")
+        deferred = deferred.drop("_scope_rank")
 
         offered = offered.cache()
         # -- weighted pop order from per-queue counts (S1/S4/S10)
