@@ -82,8 +82,16 @@ SEEDS_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("queue", T.StringType()),
         T.StructField("policy", T.StringType()),
+        # optional earliest-epoch gate (maps to not_before_epoch; lets
+        # fixtures schedule reprocess requests AFTER the original crawl
+        # landed documents — the storage-first path, dispatcher.js:29-43)
+        T.StructField("not_before", T.IntegerType()),
     ]
 )
+
+
+def _seed_row(d: dict) -> dict:
+    return {**d, "not_before": d.get("not_before", 0)}
 
 ROBOTS_SCHEMA = T.StructType(
     [
@@ -197,7 +205,8 @@ def registry_df(spark: SparkSession, rows: list[dict] | None = None, **kw) -> Da
 
 
 def seeds_df(spark: SparkSession, rows: list[dict] | None = None, **kw) -> DataFrame:
-    return spark.createDataFrame(rows if rows is not None else gen_seeds_py(**kw), SEEDS_SCHEMA)
+    rows = rows if rows is not None else gen_seeds_py(**kw)
+    return spark.createDataFrame([_seed_row(r) for r in rows], SEEDS_SCHEMA)
 
 
 def robots_df(spark: SparkSession, rows: list[dict] | None = None, **kw) -> DataFrame:

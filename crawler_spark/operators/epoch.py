@@ -72,7 +72,7 @@ FRONTIER_COLS = [
     "parent_epoch", "enqueued_seq", "url_hash",
 ]
 
-_LOG_COLS = ["epoch", "pop_index", "type", "url", "queue", "scope", "outcome", "attempt"]
+_LOG_COLS = ["epoch", "pop_index", "type", "url", "queue", "scope", "outcome", "attempt", "origin"]
 
 
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
@@ -88,7 +88,7 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
         F.lit("global").alias("scope"),
         F.coalesce(F.col("policy"), F.lit("default")).alias("policy"),
         F.lit(0).alias("attempt_count"),
-        F.lit(0).alias("not_before_epoch"),
+        F.coalesce(F.col("not_before"), F.lit(0)).cast("int").alias("not_before_epoch"),
         F.lit(-1).alias("parent_epoch"),
         F.col("seed_id").cast("long").alias("_order"),
         F.xxhash64(F.concat(F.col("request_type"), F.lit("@"), F.col("canonical_url"))).alias("url_hash"),
@@ -123,7 +123,13 @@ def enqueue_batch(
     anti-join; only the physical plan changes.
     """
     okey = [F.col(c) for c in order_cols]
-    w_dedup = Window.partitionBy("attempt_count", "type", "url").orderBy(*okey)
+    # attenuation key includes the policy short form, matching the
+    # reference cache key t:{attempt}:{type}@{url}:{policy}
+    # (attenuatedQueue.js:66-69)
+    policy_root = F.split_part(F.col("policy"), F.lit(":"), F.lit(1))
+    w_dedup = Window.partitionBy(
+        "attempt_count", "type", "url", policy_root
+    ).orderBy(*okey)
     deduped = (
         entries.withColumn("_dup_rank", F.row_number().over(w_dedup))
         .withColumn("_is_dup", F.col("_dup_rank") > 1)
@@ -136,31 +142,49 @@ def enqueue_batch(
     fresh = uniq.filter(F.col("attempt_count") == 0)
     requeued = uniq.filter(F.col("attempt_count") > 0)
     skey = _seen_key(F.col("type"), F.col("url"))
+    # reprocess-family policies revisit despite history
+    # (traversalPolicy.js:135-154); everything else is seen-filtered.
+    # _krank orders same-key rows within the batch: the first introduces
+    # the key (simulator processes sequentially — later same-key default
+    # rows in the SAME batch are filtered too).
+    is_reprocess = policy_root.startswith("reprocess")
+    w_key = Window.partitionBy(skey).orderBy(*okey)
+    fresh2 = fresh.withColumn("_skey", skey).withColumn(
+        "_krank", F.row_number().over(w_key)
+    )
     if seen_filters is not None:
         from crawler_spark.operators.seenset import probe_candidates
 
         # url_hash IS xxhash64('type@url') == seen_hash, so it probes the
-        # same key space the filters were built over.
-        probed = probe_candidates(
-            fresh.withColumn("_skey", skey), seen_filters, "url_hash", n_filter_parts
+        # same key space the filters were built over; bloom-negative rows
+        # are definitely unseen, suspects verify on the exact string key.
+        probed = probe_candidates(fresh2, seen_filters, "url_hash", n_filter_parts)
+        verified = probed.filter(F.col("maybe_seen")).join(
+            seen.select(F.col("seen_key").alias("_skey"), F.lit(True).alias("_ex")),
+            "_skey", "left",
         )
-        definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        verified = suspects.join(
-            seen.select(F.col("seen_key").alias("_skey")), "_skey", "left_anti"
-        )
-        unseen = definite.unionByName(verified).drop("_skey")
+        flagged = probed.filter(~F.col("maybe_seen")).withColumn(
+            "_ex", F.lit(None).cast("boolean")
+        ).unionByName(verified).drop("maybe_seen")
     else:
-        unseen = fresh.withColumn("_skey", skey).join(
-            seen.select(F.col("seen_key").alias("_skey")), "_skey", "left_anti"
-        ).drop("_skey")
+        flagged = fresh2.join(
+            seen.select(F.col("seen_key").alias("_skey"), F.lit(True).alias("_ex")),
+            "_skey", "left",
+        )
+    known = F.coalesce(F.col("_ex"), F.lit(False)) | (F.col("_krank") > 1)
+    unseen = flagged.filter(is_reprocess | ~known)
+    new_seen = (
+        flagged.filter(~F.coalesce(F.col("_ex"), F.lit(False)) & (F.col("_krank") == 1))
+        .select("type", "url")
+    )
+    unseen = unseen.drop("_skey", "_krank", "_ex")
     accepted = unseen.unionByName(requeued)
     w_seq = Window.orderBy(*okey)  # epoch-batch sized; see module scale note
     accepted = accepted.withColumn(
         "enqueued_seq", (F.row_number().over(w_seq) - 1 + F.lit(next_seq)).cast("long")
     )
     new_frontier = accepted.select(*FRONTIER_COLS)
-    new_seen = unseen.select(
+    new_seen = new_seen.select(
         _seen_key(F.col("type"), F.col("url")).alias("seen_key"),
         F.xxhash64(_seen_key(F.col("type"), F.col("url"))).alias("seen_hash"),
         F.lit(seen_epoch).cast("int").alias("first_seen_epoch"),
@@ -302,8 +326,15 @@ class CrawlEngine:
         scheduled = ranked.join(F.broadcast(sched_map), ["scope", "queue", "fifo_rank"]).drop("fifo_rank")
         leftover = ranked.join(F.broadcast(sched_map), ["scope", "queue", "fifo_rank"], "left_anti").drop("fifo_rank")
 
-        # -- fetch simulation + outcome routing (S8/S14, F1-F17 collapsed)
-        outcomes = self._fetch_and_route(scheduled, epoch)
+        # -- fetch simulation + outcome routing (S8/S14, F1-F17); the
+        # documents snapshot (epoch start) backs the dispatcher's
+        # storage-first read (dispatcher.js:29-43)
+        docs_now = self.store.read("documents")
+        if docs_now is None:
+            docs_now = self.spark.createDataFrame(
+                [], "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, doc_type string, epoch int"
+            )
+        outcomes = self._fetch_and_route(scheduled, epoch, docs_now)
         outcomes = outcomes.cache()
 
         processed = outcomes.filter(F.col("outcome") == "Processed")
@@ -347,12 +378,12 @@ class CrawlEngine:
             excluded.select(
                 F.lit(epoch).alias("epoch"), F.lit(-1).cast("long").alias("pop_index"),
                 "type", "url", "queue", "scope", F.lit("RobotsExcluded").alias("outcome"),
-                F.col("attempt_count").alias("attempt"),
+                F.col("attempt_count").alias("attempt"), F.lit("-").alias("origin"),
             )
             .unionByName(
                 outcomes.select(
                     F.lit(epoch).alias("epoch"), "pop_index", "type", "url", "queue", "scope",
-                    "outcome", F.col("attempt_count").alias("attempt"),
+                    "outcome", F.col("attempt_count").alias("attempt"), "origin",
                 )
             )
         )
@@ -398,9 +429,14 @@ class CrawlEngine:
         return metrics
 
     # ------------------------------------------------------------------
-    def _fetch_and_route(self, scheduled: DataFrame, epoch: int) -> DataFrame:
+    def _fetch_and_route(self, scheduled: DataFrame, epoch: int, docs_now: DataFrame) -> DataFrame:
         """Join the scheduled batch against the registry dims and attach
-        outcome + resolved coordinates + payload/source columns."""
+        outcome + resolved coordinates + payload/source columns.
+
+        Storage-first (F1, dispatcher.js:29-43): an exact-revision request
+        whose document already landed in a PRIOR epoch (docs_now = the
+        epoch-start snapshot) is served from the store — origin='storage',
+        payload = stored spans, no 404/throttle fate (no network)."""
         fetchable = scheduled.filter(F.col("type").isin(*PACKAGE_SPEC_TYPES))
         nonfetch = scheduled.filter(~F.col("type").isin(*PACKAGE_SPEC_TYPES))
 
@@ -426,9 +462,16 @@ class CrawlEngine:
             )
         )
         j = j.join(full, ["provider", "_ns", "name", "resolved_revision"], "left")
+        # storage-first: stored doc for the as-requested exact revision
+        stored = docs_now.select(
+            F.col("doc_id").alias("url"), F.col("spans").alias("_stored_spans")
+        ).dropDuplicates(["url"])
+        j = j.join(stored, "url", "left")
+        storage_hit = F.col("revision").isNotNull() & F.col("_stored_spans").isNotNull()
         throttled = F.col("attempt_count") < F.col("fail_attempts")
         outcome = (
-            F.when(F.col("status").isNull(), "Skipped")  # markSkip 'Missing'
+            F.when(storage_hit, "Processed")  # no origin fetch, no fate checks
+            .when(F.col("status").isNull(), "Skipped")  # markSkip 'Missing'
             .when(F.col("status") == 404, "Skipped")
             .when(
                 throttled,
@@ -447,9 +490,11 @@ class CrawlEngine:
         fetched = j.select(
             *scheduled.columns,
             outcome.alias("outcome"),
+            F.when(storage_hit, "storage").otherwise("origin").alias("origin"),
             F.when(outcome == "Processed", F.col("resolved_revision")).otherwise(F.col("revision")).alias("resolved_rev"),
             F.when(outcome == "Processed", resolved_url).otherwise(F.col("url")).alias("resolved_url"),
-            "payload_spans", "source_type", "source_provider", "source_namespace",
+            F.when(storage_hit, F.col("_stored_spans")).otherwise(F.col("payload_spans")).alias("payload_spans"),
+            "source_type", "source_provider", "source_namespace",
             "source_name", "source_revision",
         )
         nulls = [
@@ -463,12 +508,13 @@ class CrawlEngine:
         nonfetched = nonfetch.select(
             *scheduled.columns,
             F.lit("Processed").alias("outcome"),
+            F.lit("origin").alias("origin"),
             F.col("revision").alias("resolved_rev"),
             F.col("url").alias("resolved_url"),
             *nulls,
         )
         return fetched.unionByName(nonfetched).select(
-            *scheduled.columns, "outcome", "resolved_rev", "resolved_url",
+            *scheduled.columns, "outcome", "origin", "resolved_rev", "resolved_url",
             "payload_spans", "source_type",
             "source_provider", "source_namespace", "source_name", "source_revision",
         )

@@ -186,7 +186,11 @@ class CrawlSimulator:
         counters = {"attenuated": 0, "seen_filtered": 0, "enqueued": 0}
         batch_keys: set[tuple] = set()
         for e in entries:
-            akey = (e.get("attempt_count", 0), e["type"], e["url"])
+            # attenuation key includes the policy short form, matching the
+            # reference cache key t:{attempt}:{type}@{url}:{policy}
+            # (attenuatedQueue.js:66-69)
+            policy_root = (e.get("policy") or "default").split(":")[0]
+            akey = (e.get("attempt_count", 0), e["type"], e["url"], policy_root)
             if akey in batch_keys:
                 counters["attenuated"] += 1
                 continue
@@ -194,9 +198,14 @@ class CrawlSimulator:
             skey = f"{e['type']}@{e['url']}"
             if e.get("attempt_count", 0) == 0:
                 if skey in self.res.seen:
-                    counters["seen_filtered"] += 1
-                    continue
-                self.res.seen[skey] = epoch
+                    # reprocess-family policies revisit despite history
+                    # (traversalPolicy.js:135-154: reprocess* fetch from
+                    # storage and re-run processing)
+                    if not policy_root.startswith("reprocess"):
+                        counters["seen_filtered"] += 1
+                        continue
+                else:
+                    self.res.seen[skey] = epoch
             e = dict(e)
             e["enqueued_seq"] = self.next_seq
             self.next_seq += 1
@@ -217,7 +226,7 @@ class CrawlSimulator:
                     "scope": "global",
                     "policy": s.get("policy") or "default",
                     "attempt_count": 0,
-                    "not_before_epoch": 0,
+                    "not_before_epoch": int(s.get("not_before") or 0),
                     "parent_epoch": -1,
                     "host": self._host_of(c["provider"]),
                 }
@@ -242,7 +251,7 @@ class CrawlSimulator:
                 m["robots_excluded"] += 1
                 log.append(dict(epoch=epoch, pop_index=-1, type=e["type"], url=e["url"],
                                 queue=e["queue"], scope=e["scope"], outcome="RobotsExcluded",
-                                attempt=e["attempt_count"]))
+                                attempt=e["attempt_count"], origin="-"))
             else:
                 allowed.append(e)
 
@@ -263,6 +272,7 @@ class CrawlSimulator:
         for rows in fifo.values():
             rows.sort(key=lambda e: e["enqueued_seq"])
         counts = {k: len(v) for k, v in fifo.items()}
+        self._docs_at_epoch_start = set(self.res.documents)
         rng = epoch_rng(epoch) if self.rng_seed is None else epoch_rng(epoch, self.rng_seed)
         order = pop_schedule(counts, self.batch_budget, rng)
         popped_keys = set()
@@ -272,10 +282,10 @@ class CrawlSimulator:
             e = fifo[(scope, queue)][rank]
             popped_keys.add(id(e))
             m["scheduled"] += 1
-            outcome = self._process_one(e, epoch, pop_index, children, requeues)
+            outcome, origin = self._process_one(e, epoch, pop_index, children, requeues)
             log.append(dict(epoch=epoch, pop_index=pop_index, type=e["type"], url=e["url"],
                             queue=e["queue"], scope=e["scope"], outcome=outcome,
-                            attempt=e["attempt_count"]))
+                            attempt=e["attempt_count"], origin=origin))
             key = {"Processed": "processed", "Skipped": "skipped",
                    "Requeued": "requeued", "Deadletter": "deadlettered"}[outcome]
             m[key] += 1
@@ -292,16 +302,25 @@ class CrawlSimulator:
 
     # -- request processing -------------------------------------------------------
     def _process_one(self, e: dict, epoch: int, pop_index: int,
-                     children: list[dict], requeues: list[dict]) -> str:
+                     children: list[dict], requeues: list[dict]) -> tuple[str, str]:
         c = e["coord"]
         rtype = e["type"]
         reg_row = None
+        origin = "origin"
         if rtype in FETCHABLE_TYPES:
             rows = self.registry.get((c["provider"], c["namespace"], c["name"]))
+            # storage-first read (dispatcher.js:29-43): an exact-revision
+            # request whose document already landed in a PRIOR epoch is
+            # served from the store — no origin fetch, no 404/throttle fate
+            if c["revision"] and c["canonical_url"] in self._docs_at_epoch_start:
+                origin = "storage"
+                reg_row = next((r for r in (rows or []) if r["version"] == c["revision"]), None)
+                self._expand_children(e, c, reg_row, epoch, children)
+                return "Processed", origin
             if not rows:
-                return "Skipped"  # markSkip 'Missing' (baseHandler.js:103-105)
+                return "Skipped", origin  # markSkip 'Missing' (baseHandler.js:103-105)
             if rows[0]["status"] == 404:
-                return "Skipped"
+                return "Skipped", origin
             if e["attempt_count"] < rows[0]["fail_attempts"]:
                 # 429 throttle → requeue w/ backoff or deadletter (goFetch.js:68-75,
                 # crawler.js:330-342)
@@ -309,14 +328,14 @@ class CrawlSimulator:
                 if new_attempt > MAX_REQUEUE_ATTEMPTS:
                     self.res.deadletters.append(dict(url=e["url"], type=rtype, epoch=epoch,
                                                      reason="Throttled", attempts=new_attempt))
-                    return "Deadletter"
+                    return "Deadletter", origin
                 r = dict(e)
                 r["attempt_count"] = new_attempt
                 r["scope"] = "global"  # repush lands global (scopedQueueSets.js:62-76)
                 r["not_before_epoch"] = epoch + 1 + new_attempt * REQUEUE_DELAY_EPOCHS
                 r["parent_epoch"] = e["parent_epoch"]
                 requeues.append(r)
-                return "Requeued"
+                return "Requeued", origin
             # resolve revision: absent → latest non-prerelease (baseHandler.js:83-96)
             if not c["revision"]:
                 latest = latest_version_py([r["version"] for r in rows])
@@ -324,15 +343,22 @@ class CrawlSimulator:
                 c["canonical_url"] = coord_url(c)
             reg_row = next((r for r in rows if r["version"] == c["revision"]), None)
             if reg_row is None:
-                return "Skipped"
+                return "Skipped", origin
             self.res.documents[c["canonical_url"]] = reg_row["payload_spans"]
         elif rtype in TERMINAL_TYPES:
             # tool task: storage-first fetch of already-landed content, run tool,
             # store under the tool URN (abstractProcessor.js:224-227)
             self.res.documents[coord_urn(c, tool=rtype)] = tool_output_span(rtype, e["url"])
-            return "Processed"
+            self._expand_children(e, c, reg_row, epoch, children)
+            return "Processed", origin
 
-        # expansion (component/package/source routing + tool fan-out)
+        self._expand_children(e, c, reg_row, epoch, children)
+        return "Processed", origin
+
+    def _expand_children(self, e: dict, c: dict, reg_row, epoch: int, children: list[dict]):
+        """Visitor-map expansion (component/package/source routing + tool
+        fan-out) — shared by origin-fetched and storage-served requests."""
+        rtype = e["type"]
         for edge in self.edges_by_parent.get(rtype, []):
             cond = edge["condition"]
             if cond == "spec_source" and c["type"] not in SOURCE_SPEC_TYPES:
@@ -369,7 +395,6 @@ class CrawlSimulator:
                     "host": self._host_of(cc["provider"]),
                 }
             )
-        return "Processed"
 
     def run(self, seeds: list[dict], max_epochs: int = 50) -> SimResult:
         self.seed(seeds)

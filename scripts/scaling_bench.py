@@ -20,10 +20,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_once(n: int, cpus: int, batch: int) -> dict:
+    """One measurement in a fresh JVM. With SPARK_GRAFT_SUBMIT=1 the job
+    launches via `spark-submit --py-files <engine zip>` (the north rule's
+    deployment shape); default is a plain python subprocess (same JVM
+    semantics in local mode, faster startup)."""
+    job = [os.path.join(REPO, "scripts", "frontier_job.py"), str(n), str(cpus), str(batch)]
+    if os.environ.get("SPARK_GRAFT_SUBMIT") == "1":
+        from scripts.package_pyfiles import build
+
+        zip_path = build("/tmp/crawler_spark_pyfiles.zip")
+        cmd = ["spark-submit", "--master", f"local[{cpus}]", "--py-files", zip_path] + job
+    else:
+        cmd = [sys.executable] + job
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "frontier_job.py"),
-         str(n), str(cpus), str(batch)],
-        capture_output=True, text=True, check=True, cwd=REPO,
+        cmd, capture_output=True, text=True, check=True, cwd=REPO,
         env=dict(os.environ, PYTHONPATH=REPO),
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]

@@ -66,6 +66,11 @@ SEEDS = [
     {"seed_id": 4, "type": "component", "url": "cd:/npm/npmjs/-/multi-d", "queue": "later", "policy": "default"},  # dup → attenuated
     {"seed_id": 5, "type": "component", "url": "cd:/npm/npmjs/-/plain-e", "queue": "normal", "policy": "default"},
     {"seed_id": 6, "type": "component", "url": "cd:/npm/npmjs/-/robots-f/1.0.0", "queue": "normal", "policy": "default"},
+    # storage-first reprocess (F1 dispatcher.js:29-43 + traversalPolicy
+    # reprocess family): exact-revision re-crawl of multi-d AFTER its doc
+    # landed — bypasses the seen filter, serves content from the store
+    {"seed_id": 7, "type": "npm", "url": "cd:/npm/npmjs/-/multi-d/1.1.0", "queue": "normal",
+     "policy": "reprocess", "not_before": 4},
 ]
 
 # host budget 6 lets multi-d and plain-e process in the SAME epoch → their
@@ -95,7 +100,8 @@ def runs(spark, tmp_path_factory):
 
 
 def _key(r):
-    return (r["epoch"], r["pop_index"], r["type"], r["url"], r["queue"], r["scope"], r["outcome"], r["attempt"])
+    return (r["epoch"], r["pop_index"], r["type"], r["url"], r["queue"], r["scope"],
+            r["outcome"], r["attempt"], r["origin"])
 
 
 def test_schedule_log_parity(runs):
@@ -157,6 +163,30 @@ def test_seen_set_parity(runs):
     sres, store = runs
     spark_seen = {r["seen_key"]: r["first_seen_epoch"] for r in store.read("seen").collect()}
     assert spark_seen == sres.seen
+
+
+def test_storage_first_reprocess(runs):
+    """The reprocess seed is served from the store: origin='storage',
+    Processed without consulting fetch fates, and its subtree re-expands
+    (reprocess children bypass the seen filter) — matching the reference
+    dispatcher storage-first + reprocess traversal semantics."""
+    sres, store = runs
+    log = store.read("schedule_log").collect()
+    storage_rows = [r for r in log if r["origin"] == "storage"]
+    assert storage_rows, "no storage-first hits scheduled"
+    hit = [r for r in storage_rows if r["url"] == "cd:/npm/npmjs/-/multi-d/1.1.0" and r["type"] == "npm"]
+    assert len(hit) == 1 and hit[0]["outcome"] == "Processed"
+    assert hit[0]["epoch"] >= 4  # not_before honored
+    # the re-crawled subtree runs its tool tasks again (reprocess cascade)
+    reprocessed_tools = [
+        r for r in log
+        if r["type"] in ("licensee", "scancode", "reuse")
+        and r["url"] == "cd:/npm/npmjs/-/multi-d/1.1.0" and r["epoch"] > hit[0]["epoch"]
+    ]
+    assert len(reprocessed_tools) == 3
+    # sim agrees exactly (origin included in the full-log parity test)
+    sim_storage = [r for r in sres.schedule_log if r["origin"] == "storage"]
+    assert len(sim_storage) == len(storage_rows)
 
 
 def test_bloom_accelerated_engine_identical(spark, runs, tmp_path_factory):
