@@ -402,6 +402,25 @@ class CrawlEngine:
             **counters,
         }
         metrics_df = spark.createDataFrame([metrics])
+        # per-partition lineage + counters (north rule): the politeness
+        # partition key (host) is the stable unit of work — one row per
+        # (epoch, host) with outcome counts, joinable back to the full
+        # schedule_log lineage
+        host_metrics = (
+            outcomes.groupBy("host")
+            .agg(
+                F.count("*").alias("scheduled"),
+                *[
+                    F.sum(F.when(F.col("outcome") == oc, 1).otherwise(0)).alias(col)
+                    for oc, col in [
+                        ("Processed", "processed"), ("Skipped", "skipped"),
+                        ("Requeued", "requeued"), ("Deadletter", "deadlettered"),
+                    ]
+                ],
+                F.sum(F.when(F.col("origin") == "storage", 1).otherwise(0)).alias("storage_hits"),
+            )
+            .select(F.lit(epoch).alias("epoch"), "*")
+        )
 
         new_frontier = (
             ineligible.select(*FRONTIER_COLS)
@@ -420,6 +439,7 @@ class CrawlEngine:
                 "schedule_log": log,
                 "deadletters": deadletters,
                 "epoch_metrics": metrics_df,
+                "epoch_host_metrics": host_metrics,
                 "harvest_events": harvest,
             },
             meta={"next_seq": next_seq + counters["enqueued"], "counters": metrics},

@@ -211,3 +211,23 @@ def test_bloom_accelerated_engine_identical(spark, runs, tmp_path_factory):
     assert spark_log == sim_log
     spark_seen = {r["seen_key"]: r["first_seen_epoch"] for r in store.read("seen").collect()}
     assert spark_seen == sres.seen
+
+
+def test_per_host_lineage_metrics(runs):
+    """epoch_host_metrics (per-partition lineage + counters, north rule)
+    must agree exactly with an aggregation of the schedule log."""
+    _, store = runs
+    hm = store.read("epoch_host_metrics")
+    assert hm is not None
+    from collections import Counter
+
+    log = [r for r in store.read("schedule_log").collect() if r["outcome"] != "RobotsExcluded"]
+    expect_sched = Counter(r["epoch"] for r in log)
+    got_sched = Counter()
+    got_storage = 0
+    for r in hm.collect():
+        got_sched[r["epoch"]] += r["scheduled"]
+        got_storage += r["storage_hits"]
+        assert r["scheduled"] == r["processed"] + r["skipped"] + r["requeued"] + r["deadlettered"]
+    assert got_sched == expect_sched
+    assert got_storage == sum(1 for r in log if r["origin"] == "storage")
