@@ -147,7 +147,11 @@ def enqueue_batch(
     # _krank orders same-key rows within the batch: the first introduces
     # the key (simulator processes sequentially — later same-key default
     # rows in the SAME batch are filtered too).
-    is_reprocess = policy_root.startswith("reprocess")
+    is_reprocess = (
+        policy_root.startswith("reprocess")
+        | policy_root.startswith("always")
+        | policy_root.startswith("reharvest")
+    )
     w_key = Window.partitionBy(skey).orderBy(*okey)
     fresh2 = fresh.withColumn("_skey", skey).withColumn(
         "_krank", F.row_number().over(w_key)
@@ -487,10 +491,19 @@ class CrawlEngine:
             F.col("doc_id").alias("url"), F.col("spans").alias("_stored_spans")
         ).dropDuplicates(["url"])
         j = j.join(stored, "url", "left")
-        storage_hit = F.col("revision").isNotNull() & F.col("_stored_spans").isNotNull()
+        # fetch policy (traversalPolicy.js:4-11, 124-171): default family is
+        # storage-first/origin-on-miss; reprocess family is storageOnly
+        # (miss ⇒ markSkip); always/reharvest families are originOnly
+        policy_root = F.split_part(F.col("policy"), F.lit(":"), F.lit(1))
+        storage_allowed = ~(policy_root.startswith("always") | policy_root.startswith("reharvest"))
+        storage_only = policy_root.startswith("reprocess")
+        storage_hit = (
+            storage_allowed & F.col("revision").isNotNull() & F.col("_stored_spans").isNotNull()
+        )
         throttled = F.col("attempt_count") < F.col("fail_attempts")
         outcome = (
             F.when(storage_hit, "Processed")  # no origin fetch, no fate checks
+            .when(storage_only, "Skipped")  # storageOnly miss → markSkip
             .when(F.col("status").isNull(), "Skipped")  # markSkip 'Missing'
             .when(F.col("status") == 404, "Skipped")
             .when(

@@ -198,10 +198,10 @@ class CrawlSimulator:
             skey = f"{e['type']}@{e['url']}"
             if e.get("attempt_count", 0) == 0:
                 if skey in self.res.seen:
-                    # reprocess-family policies revisit despite history
-                    # (traversalPolicy.js:135-154: reprocess* fetch from
-                    # storage and re-run processing)
-                    if not policy_root.startswith("reprocess"):
+                    # explicit re-crawl policies (reprocess*/always/
+                    # reharvest*) revisit despite history
+                    # (traversalPolicy.js:124-171)
+                    if not policy_root.startswith(("reprocess", "always", "reharvest")):
                         counters["seen_filtered"] += 1
                         continue
                 else:
@@ -307,16 +307,23 @@ class CrawlSimulator:
         rtype = e["type"]
         reg_row = None
         origin = "origin"
+        policy_root = (e.get("policy") or "default").split(":")[0]
         if rtype in FETCHABLE_TYPES:
             rows = self.registry.get((c["provider"], c["namespace"], c["name"]))
-            # storage-first read (dispatcher.js:29-43): an exact-revision
-            # request whose document already landed in a PRIOR epoch is
-            # served from the store — no origin fetch, no 404/throttle fate
-            if c["revision"] and c["canonical_url"] in self._docs_at_epoch_start:
+            # fetch policy (traversalPolicy.js:4-11, 124-171):
+            #   default family  → storage-first, origin on miss (mutables)
+            #   reprocess family→ storageOnly: storage miss ⇒ markSkip
+            #   always/reharvest→ originOnly: ignore storage, fetch origin
+            storage_allowed = not policy_root.startswith(("always", "reharvest"))
+            storage_only = policy_root.startswith("reprocess")
+            if (storage_allowed and c["revision"]
+                    and c["canonical_url"] in self._docs_at_epoch_start):
                 origin = "storage"
                 reg_row = next((r for r in (rows or []) if r["version"] == c["revision"]), None)
                 self._expand_children(e, c, reg_row, epoch, children)
                 return "Processed", origin
+            if storage_only:
+                return "Skipped", origin  # storageOnly miss → markSkip (dispatcher shouldFetchMissing=false)
             if not rows:
                 return "Skipped", origin  # markSkip 'Missing' (baseHandler.js:103-105)
             if rows[0]["status"] == 404:

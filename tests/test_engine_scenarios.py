@@ -71,6 +71,12 @@ SEEDS = [
     # landed — bypasses the seen filter, serves content from the store
     {"seed_id": 7, "type": "npm", "url": "cd:/npm/npmjs/-/multi-d/1.1.0", "queue": "normal",
      "policy": "reprocess", "not_before": 4},
+    # originOnly re-crawl (policy 'always' = fetch origin, ignore storage)
+    {"seed_id": 8, "type": "npm", "url": "cd:/npm/npmjs/-/plain-e/0.1.0", "queue": "normal",
+     "policy": "always", "not_before": 4},
+    # storageOnly miss (reprocess of a never-crawled coordinate) → Skipped
+    {"seed_id": 9, "type": "npm", "url": "cd:/npm/npmjs/-/multi-d/1.0.0", "queue": "normal",
+     "policy": "reprocess", "not_before": 4},
 ]
 
 # host budget 6 lets multi-d and plain-e process in the SAME epoch → their
@@ -187,6 +193,23 @@ def test_storage_first_reprocess(runs):
     # sim agrees exactly (origin included in the full-log parity test)
     sim_storage = [r for r in sres.schedule_log if r["origin"] == "storage"]
     assert len(sim_storage) == len(storage_rows)
+
+
+def test_fetch_policy_matrix(runs):
+    """traversalPolicy fetch families: 'always' is originOnly (re-fetches
+    from origin despite a stored doc); 'reprocess' is storageOnly (a
+    storage miss is markSkip, never an origin fetch)."""
+    sres, store = runs
+    log = store.read("schedule_log").collect()
+    always_rows = [r for r in log if r["url"] == "cd:/npm/npmjs/-/plain-e/0.1.0"
+                   and r["type"] == "npm" and r["epoch"] >= 4]
+    assert always_rows and all(
+        (r["outcome"], r["origin"]) == ("Processed", "origin") for r in always_rows
+    )
+    miss_rows = [r for r in log if r["url"] == "cd:/npm/npmjs/-/multi-d/1.0.0" and r["type"] == "npm"]
+    assert miss_rows and all(
+        (r["outcome"], r["origin"]) == ("Skipped", "origin") for r in miss_rows
+    )
 
 
 def test_bloom_accelerated_engine_identical(spark, runs, tmp_path_factory):
