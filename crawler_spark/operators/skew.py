@@ -167,32 +167,33 @@ def sampled_topk_per_group(
     sample-sized and margin·k-sized slices. Deterministic: the sample is
     a hash of the key, not rand().
     """
-    totals = df.groupBy(group_col).agg(F.count("*").alias("_n"))
-    big = totals.filter(F.col("_n") > k)
+    # ONE aggregation pass produces both the totals and the per-group
+    # sorted key sample (map-side combinable); the threshold is then a
+    # pure array projection on the tiny per-group result — a single
+    # broadcast barrier instead of three (totals, sample-rank, threshold).
+    sampled_key = F.when(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(sample_mod)) == 0, F.col(key_col)
+    )
+    info = df.groupBy(group_col).agg(
+        F.count("*").alias("_n"),
+        F.sort_array(F.collect_list(sampled_key)).alias("_samp"),
+    )
+    target = F.least(
+        F.greatest(F.ceil(F.lit(margin) * k * F.size("_samp") / F.col("_n")), F.lit(1)),
+        F.size("_samp"),
+    )
+    info = info.withColumn(
+        "_thresh", F.when(F.size("_samp") > 0, F.try_element_at("_samp", target.cast("int")))
+    ).drop("_samp")
+    big = info.filter(F.col("_n") > k)
     small_rows = df.join(F.broadcast(big.select(group_col)), group_col, "left_anti")
 
-    big_rows = df.join(F.broadcast(big), group_col)
-    sample = big_rows.filter(F.pmod(F.xxhash64(F.col(key_col)), F.lit(sample_mod)) == 0)
-    w_s = Window.partitionBy(group_col).orderBy(key_col)
-    m = Window.partitionBy(group_col)
-    ranked_sample = sample.withColumn("_sr", F.row_number().over(w_s)).withColumn(
-        "_m", F.count("*").over(m)
-    )
-    # target in-sample rank for the threshold key (ceil, ≥ 1)
-    target = F.least(
-        F.greatest(F.ceil(F.lit(margin) * k * F.col("_m") / F.col("_n")), F.lit(1)),
-        F.col("_m"),
-    )
-    thresholds = (
-        ranked_sample.filter(F.col("_sr") == target)
-        .select(group_col, F.col(key_col).alias("_thresh"), "_m")
-    )
-    cand = big_rows.join(F.broadcast(thresholds), group_col, "left").filter(
+    cand = df.join(F.broadcast(big), group_col).filter(
         F.col("_thresh").isNull() | (F.col(key_col) <= F.col("_thresh"))
     )
     w_exact = Window.partitionBy(group_col).orderBy(key_col)
     cand_ranked = cand.withColumn("_r", F.row_number().over(w_exact))
-    helpers = ["_n", "_thresh", "_m", "_r"]
+    helpers = ["_n", "_thresh", "_r"]
     topk_big = cand_ranked.filter(F.col("_r") <= k).drop(*helpers)
     # verify: a group whose candidate set came up short of k (sample
     # undershoot) must be re-ranked exactly over ALL its rows
