@@ -433,7 +433,19 @@ class CrawlEngine:
             .unionByName(new_frontier_rows)
         )
         new_seen = seen.unionByName(new_seen_rows)
-        harvest = docs.select("doc_id", F.lit(epoch).alias("epoch"))  # K4/K5 delta stream
+        # K4/K5 delta stream (azureQueueStore.js:66-70 / webhookDeltaStore):
+        # one event per upsert, with DETERMINISTIC event time — one epoch ≡
+        # the reference's 5 s loop quantum (config.REQUEUE_DELAY_EPOCHS
+        # note), anchored at a fixed base so replays are bit-identical.
+        # Downstream consumers read this table as a Structured Stream
+        # (crawler_spark/streaming/harvest_stream.py).
+        harvest = docs.select(
+            "doc_id",
+            F.col("doc_type"),
+            F.lit(epoch).alias("epoch"),
+            (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+             + F.make_interval(secs=F.lit(epoch * 5))).alias("event_ts"),
+        )
 
         self.store.commit(
             epoch=epoch,
