@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the pure kernels: coordinate
+algebra roundtrips, semver ordering, pop-order conservation. These run
+entirely driver-side (no Spark) — the Spark implementations are parity-
+tested against these same kernels elsewhere.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawler_spark.config import QUEUE_NAMES, SCOPES
+from crawler_spark.poporder import epoch_rng, pop_schedule
+from crawler_spark.simulator import (
+    canonicalize_py,
+    coord_url,
+    coord_urn,
+    is_prerelease_py,
+    latest_version_py,
+    semver_key_py,
+)
+
+SEGMENT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters=".-_"),
+    min_size=1, max_size=12,
+).filter(lambda s: s not in ("", "-") and "/" not in s)
+
+
+@given(typ=SEGMENT, prov=SEGMENT, ns=st.one_of(st.none(), SEGMENT), name=SEGMENT,
+       rev=st.one_of(st.none(), SEGMENT))
+@settings(max_examples=200, deadline=None)
+def test_coordinate_roundtrip_is_fixed_point(typ, prov, ns, name, rev):
+    # parse(render(c)) == canonicalize(c) and is idempotent (entitySpec.js:45-75)
+    c = {"type": typ.lower(), "provider": prov.lower(), "namespace": ns, "name": name,
+         "revision": rev, "tool": None, "tool_version": None}
+    url = coord_url(c)
+    parsed = canonicalize_py(url)
+    assert parsed is not None
+    for k in ("type", "provider", "namespace", "name", "revision"):
+        assert parsed[k] == c[k], (k, url)
+    assert parsed["canonical_url"] == url
+    # reparse of the canonical form is a fixed point
+    assert canonicalize_py(parsed["canonical_url"]) == parsed
+
+
+@given(typ=SEGMENT, prov=SEGMENT, name=SEGMENT, rev=SEGMENT)
+@settings(max_examples=100, deadline=None)
+def test_urn_contains_every_segment(typ, prov, name, rev):
+    c = {"type": typ.lower(), "provider": prov.lower(), "namespace": None, "name": name,
+         "revision": rev, "tool": None, "tool_version": None}
+    urn = coord_urn(c)
+    assert urn.startswith("urn:") and f":revision:{rev}" in urn
+
+
+SEMVER = st.tuples(
+    st.integers(0, 999), st.integers(0, 999), st.integers(0, 999),
+    st.one_of(st.none(), st.sampled_from(["alpha", "beta.1", "rc.2"])),
+).map(lambda t: f"{t[0]}.{t[1]}.{t[2]}" + (f"-{t[3]}" if t[3] else ""))
+
+
+@given(versions=st.lists(SEMVER, min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_latest_version_properties(versions):
+    latest = latest_version_py(versions)
+    assert latest in versions
+    stable = [v for v in versions if not is_prerelease_py(v)]
+    if stable:
+        # the chosen version is stable and key-maximal among stable ones
+        assert not is_prerelease_py(latest)
+        assert all(semver_key_py(latest) >= semver_key_py(v) for v in stable)
+
+
+@given(a=SEMVER, b=SEMVER)
+@settings(max_examples=200, deadline=None)
+def test_semver_key_is_order_homomorphic(a, b):
+    ta = tuple(int(x) for x in a.split("-")[0].split("."))
+    tb = tuple(int(x) for x in b.split("-")[0].split("."))
+    ka, kb = semver_key_py(a), semver_key_py(b)
+    if ta < tb:
+        assert ka < kb
+    elif ta > tb:
+        assert ka > kb
+    else:
+        assert ka == kb  # prerelease tags don't perturb the numeric key
+
+
+@given(
+    counts=st.dictionaries(
+        st.tuples(st.sampled_from(SCOPES), st.sampled_from(QUEUE_NAMES)),
+        st.integers(0, 30), max_size=8,
+    ),
+    budget=st.integers(0, 100),
+    epoch=st.integers(0, 50),
+)
+@settings(max_examples=200, deadline=None)
+def test_pop_schedule_conservation(counts, budget, epoch):
+    order = pop_schedule(dict(counts), budget, epoch_rng(epoch))
+    total = sum(counts.values())
+    assert len(order) == min(budget, total)  # drains exactly min(budget, available)
+    # FIFO ranks are dense per (scope, queue) and never exceed that queue's count
+    from collections import defaultdict
+
+    ranks = defaultdict(list)
+    for s, q, r in order:
+        ranks[(s, q)].append(r)
+    for key, rs in ranks.items():
+        assert rs == list(range(len(rs)))
+        assert len(rs) <= counts.get(key, 0)
+    # local scope fully precedes global only when local is nonempty at each draw:
+    # weaker invariant — a global pop never happens while the SAME queue set
+    # still had local rows at that point; verify via replay bookkeeping
+    remaining = {k: counts.get(k, 0) for k in [(s, q) for s in SCOPES for q in QUEUE_NAMES]}
+    for s, q, _ in order:
+        if s == "global":
+            assert all(remaining[("local", qq)] == 0 for qq in QUEUE_NAMES)
+        remaining[(s, q)] -= 1
