@@ -58,3 +58,34 @@ def test_stream_picks_up_new_commits_incrementally(spark, store):
         assert sum(rows.values()) == 14
     finally:
         q.stop()
+
+
+def test_stateful_first_seen_dedup(spark, store, tmp_path):
+    """applyInPandasWithState cuckoo dedup: doc_ids re-emitted in later
+    triggers (re-crawls) are suppressed; first occurrences pass."""
+    from crawler_spark.streaming.harvest_stream import harvest_event_stream
+    from crawler_spark.streaming.stateful_dedup import first_seen_stream
+
+    out = first_seen_stream(harvest_event_stream(spark, store.path))
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("first_seen").option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["doc_id"] for r in spark.sql("select * from first_seen").collect()}
+        # 9 events but d1-0/d1-1 appear under two doc_types → 7 unique doc_ids
+        assert len(first) == 7
+        # re-crawl: epoch 5 re-emits epoch-0 docs plus one new doc
+        schema = "doc_id string, doc_type string, epoch int, event_ts timestamp"
+        dup_rows = [(d, "npm", 5, BASE + datetime.timedelta(seconds=25))
+                    for d in sorted(first)[:4]]
+        new_row = [("cd:/npm/npmjs/-/brand-new/1.0", "npm", 5, BASE + datetime.timedelta(seconds=25))]
+        store.commit(5, append={"harvest_events": spark.createDataFrame(dup_rows + new_row, schema)})
+        q.processAllAvailable()
+        rows = [r["doc_id"] for r in spark.sql("select * from first_seen").collect()]
+        assert len(rows) == len(set(rows)) == 8  # only the new doc added, no dup re-emits
+        assert "cd:/npm/npmjs/-/brand-new/1.0" in rows
+    finally:
+        q.stop()
