@@ -14,7 +14,16 @@ are rounded to 6 places (decimal types used where sums must be exact).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The driver may import this module from a different working directory;
+# `crawler_spark` lives next to this file, so pin the repo root on sys.path
+# before any query callable resolves its lazy imports.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -42,11 +51,16 @@ def q_schedule_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawler.js:92-105 batch analogue) then priority ranking
     (queueSet.js:60-76 weights) capped at a 200-pop batch budget."""
     ev = _t(spark, sf_dir, "events")
+    # unknown event types map to the lowest-priority queue, matching the
+    # SQL oracle's ELSE branches (domain today is exactly the 5 mapped
+    # values; the .otherwise keeps both sides aligned if it ever grows)
     queue = F.coalesce(
-        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in _QUEUE_OF_EVENT.items()]
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in _QUEUE_OF_EVENT.items()],
+        F.lit("later"),
     )
     weight = F.coalesce(
-        *[F.when(queue == k, F.lit(v)) for k, v in _QUEUE_WEIGHT.items()]
+        *[F.when(queue == k, F.lit(v)) for k, v in _QUEUE_WEIGHT.items()],
+        F.lit(3),
     )
     frontier = ev.select(
         F.col("event_id").alias("seq"),
@@ -345,11 +359,17 @@ def q_dedup_fingerprint(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """3-gram Jaccard near-dup pairs ≥ 0.5 (exact, SQL-oracled)."""
+    """3-gram Jaccard near-dup pairs ≥ 0.5 (exact, SQL-oracled).
+
+    The stop-shingle guard is ON by default (max_shingle_freq=1000):
+    shingles shared by >1000 docs never enter the self-join, so one hot
+    shingle cannot detonate a quadratic hot key at scale. Sizes are
+    computed post-filter; the DuckDB oracle mirrors the same drop, so the
+    comparison stays value-exact."""
     from crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=1000)
 
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -398,7 +418,11 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embed_near_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs ≥ 0.8 (exact pairwise)."""
+    """Embedding-cosine near-dup pairs ≥ 0.35 (exact pairwise — the
+    tiny-sf correctness oracle; the scale path is
+    q_embed_near_pairs_lsh). Threshold picked so the oracle compares real
+    rows: the synthetic embeddings' max pairwise cosine is ≈0.48/0.51 at
+    sf0.001/0.01, so the old 0.8 threshold matched vacuously."""
     from crawler_spark.operators.similarity import cosine
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -407,8 +431,19 @@ def q_embed_near_pairs(spark, sf_dir):
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("ea"), F.col("eb"))
     return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim")).filter(
-        F.col("cosine_sim") >= 0.8
+        F.col("cosine_sim") >= 0.35
     )
+
+
+def q_embed_near_pairs_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.35 with multi-table
+    hyperplane-LSH candidate generation (the 100 TB path: only pairs
+    colliding in ≥1 of 8 sign-buckets are compared exactly). Subset of
+    q_embed_near_pairs — rows-only oracle (xxhash64 planes)."""
+    from crawler_spark.operators.similarity import pairwise_cosine_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pairwise_cosine_near_dups(emb, threshold=0.35, n_planes=8, n_tables=8)
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -487,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_cosine_topk": q_cosine_topk,
         "q_embed_near_pairs": q_embed_near_pairs,
+        "q_embed_near_pairs_lsh": q_embed_near_pairs_lsh,
         "q_lsh_buckets": q_lsh_buckets,
         "q_ivf_topk": q_ivf_topk,
         "q_media_decode": q_media_decode,
@@ -666,8 +702,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
                        i -> array_to_string(t[i:i+2], ' '))) AS grams
               FROM toks WHERE len(t) >= 3),
-            sizes AS (SELECT id, len(grams) AS n_sh FROM sh),
-            ex AS (SELECT id, unnest(grams) AS g FROM sh),
+            ex0 AS (SELECT id, unnest(grams) AS g FROM sh),
+            -- stop-shingle guard mirror: drop shingles in >1000 docs
+            hot AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) > 1000),
+            ex AS (SELECT id, g FROM ex0 ANTI JOIN hot USING (g)),
+            sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
             inter AS (
               SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
               FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
@@ -731,7 +770,7 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
                           * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine_sim
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
-            SELECT * FROM p WHERE cosine_sim >= 0.8
+            SELECT * FROM p WHERE cosine_sim >= 0.35
         """,
         "q_media_decode": """
             SELECT 'urn:attachment:' || sha256(CAST(doc_id AS VARCHAR)) AS media_ref,
@@ -740,5 +779,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # q_minhash_near_dups / q_simhash_near_dups / q_lsh_buckets /
-        # q_ivf_topk / q_winnow_fingerprints: xxhash64-based — rows-only.
+        # q_ivf_topk / q_winnow_fingerprints / q_embed_near_pairs_lsh:
+        # xxhash64-based — rows-only.
     }

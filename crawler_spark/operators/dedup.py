@@ -107,7 +107,6 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     exploded = sh.select("id", F.explode("sh").alias("g"))
     if max_shingle_freq is not None:
         hot = (
@@ -116,6 +115,12 @@ def ngram_jaccard_pairs(
             .select("g")
         )
         exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
+        # sizes over the POST-filter shingle universe so jaccard stays an
+        # exact ratio within that universe (pre-filter sizes would make it
+        # a systematic underestimate); docs losing every shingle drop out
+        sizes = exploded.groupBy("id").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -150,16 +155,22 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
+    # hash each shingle STRING once; the k components then re-hash the
+    # 64-bit base value per seed (long-input xxhash64 is ~10× cheaper than
+    # re-hashing the string k times — same minwise-independence argument,
+    # the seed families are xxhash64(·, i) over an injective base map)
+    base = sh.select("id", F.size("sh").alias("n_sh"),
+                     F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
 
     def _hash_with_seed(seed: int):
         # closure factory — a 2-param lambda (even with a default) would be
         # given (element, index) by PySpark, silently replacing the seed
-        return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda h: F.xxhash64(h, F.lit(seed))
 
     sig = F.array(
-        *[F.array_min(F.transform(F.col("sh"), _hash_with_seed(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(F.col("hs"), _hash_with_seed(i))) for i in range(num_hashes)]
     )
-    return sh.select("id", sig.alias("signature"), F.size("sh").alias("n_sh"))
+    return base.select("id", sig.alias("signature"), "n_sh")
 
 
 def lsh_candidate_pairs(

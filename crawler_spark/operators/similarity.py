@@ -83,25 +83,44 @@ def pairwise_cosine_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs
-    sharing a hyperplane-sign bucket are compared exactly (bucketing is a
-    recall/cost knob; same-bucket collision probability rises with cosine
-    similarity — Charikar's SimHash bound: P = (1 - θ/π)^n_planes)."""
-    bucketed = with_lsh_bucket(df, n_planes, vec_col)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    sharing a hyperplane-sign bucket in AT LEAST ONE of `n_tables`
+    independent tables are compared exactly. Single-table collision
+    probability is Charikar's SimHash bound P = (1 - θ/π)^n_planes;
+    multi-table recall is 1 - (1 - P)^n_tables — the standard
+    amplification that makes bucketing usable as a near-dup filter, not
+    just an ANN probe. Join key is (table, bucket): uniform by
+    construction, so the shuffle has no hot keys; candidate pairs are
+    deduped before the exact-cosine verify."""
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(
+            F.array(*[
+                _lsh_bucket_expr(F.col(vec_col), n_planes, seed=t) for t in range(n_tables)
+            ])
+        ).alias("table", "bucket"),
     )
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return (
-        pairs.select(
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(sim, 6).alias("cosine_sim"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -111,25 +130,29 @@ def pairwise_cosine_near_dups(
 # ---------------------------------------------------------------------------
 
 
-def _plane_component(plane: int, dim_idx: Column) -> Column:
+def _plane_component(plane: int, dim_idx: Column, seed: int = 0) -> Column:
     """Pseudo-random hyperplane component in [-1, 1): derived from
-    xxhash64(dim, plane) — the 'model' is a formula, not a table."""
-    h = F.xxhash64(dim_idx, F.lit(plane))
+    xxhash64(dim, plane[, seed]) — the 'model' is a formula, not a table.
+    seed=0 keeps the round-1 plane family bit-identical; nonzero seeds
+    derive independent plane sets for multi-table LSH."""
+    h = F.xxhash64(dim_idx, F.lit(plane)) if seed == 0 else F.xxhash64(dim_idx, F.lit(plane), F.lit(seed))
     return (F.pmod(h, F.lit(2_000_001)) - F.lit(1_000_000)) / F.lit(1_000_000.0)
 
 
-def with_lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding") -> DataFrame:
-    """Adds `bucket: long` — the n_planes-bit sign pattern of projections
-    onto the deterministic hyperplanes."""
+def _lsh_bucket_expr(vec: Column, n_planes: int = 8, seed: int = 0) -> Column:
+    """The n_planes-bit sign pattern of projections onto the deterministic
+    hyperplanes, as a pure column expression (composable: multi-table LSH
+    evaluates it once per table seed inside a single projection)."""
     vec_i = F.zip_with(
-        F.col(vec_col),
-        F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+        vec,
+        F.sequence(F.lit(0), F.size(vec) - 1),
         lambda v, i: F.struct(v.alias("v"), i.alias("i")),
     )
+
     def _proj_merge(p: int):
         # closure factory: PySpark counts lambda params, so the plane index
         # must be captured, not passed as a default arg
-        return lambda acc, s: acc + s["v"].cast("double") * _plane_component(p, s["i"])
+        return lambda acc, s: acc + s["v"].cast("double") * _plane_component(p, s["i"], seed)
 
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
@@ -137,7 +160,12 @@ def with_lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding"
         bucket = bucket.bitwiseOR(
             F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
         )
-    return df.withColumn("bucket", bucket)
+    return bucket
+
+
+def with_lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding", seed: int = 0) -> DataFrame:
+    """Adds `bucket: long` — see _lsh_bucket_expr."""
+    return df.withColumn("bucket", _lsh_bucket_expr(F.col(vec_col), n_planes, seed))
 
 
 def lsh_ann_topk(
@@ -176,31 +204,37 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """(centroids, assigned) — centroids are the vectors whose id ranks
-    them at every (N/n_cells)-th position (deterministic sampling, the
-    'train' step); every vector is assigned to its nearest centroid via a
-    broadcast cross-join + per-id argmin (min_by), map-side only."""
-    n = df.count()
-    step = max(n // n_cells, 1)
-    w = Window.orderBy(F.col(id_col))
-    centroids = (
-        df.withColumn("_rank", F.row_number().over(w))
-        .filter((F.col("_rank") % step == 1) & (F.col("_rank") <= step * n_cells))
-        .select(
-            ((F.col("_rank") - 1) / step).cast("int").alias("cell_id"),
-            F.col(vec_col).alias("centroid"),
-        )
+    """(centroids, assigned) — centroids are the `n_cells` vectors with
+    the smallest xxhash64(id): a deterministic uniform sample selected by
+    orderBy(hash).limit(n_cells), which Spark executes as per-partition
+    top-k + a single tiny merge (TakeOrderedAndProject) — no global sort,
+    no single-partition window, scale-safe 'train' step. Cell ids come
+    from a window over just those n_cells rows (a handful — bounded by
+    construction). Every vector is then assigned to its nearest centroid
+    via a broadcast cross-join + per-id argmax, map-side only."""
+    sample = (
+        df.select(F.col(id_col), F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h", F.col(id_col))
+        .limit(n_cells)
     )
-    joined = df.crossJoin(F.broadcast(centroids))
-    d = dot(F.col(vec_col), F.col("centroid"))
-    na, nb = l2_norm(F.col(vec_col)), l2_norm(F.col("centroid"))
-    sim = d / (na * nb)
-    assigned = (
-        joined.groupBy(id_col)
-        .agg(
-            F.max_by("cell_id", F.struct(sim.alias("s"), (-F.col("cell_id")).alias("t"))).alias("cell_id"),
-            F.first(vec_col).alias(vec_col),
-        )
+    w = Window.orderBy("_h", F.col(id_col))  # n_cells rows only
+    centroids = sample.select(
+        (F.row_number().over(w) - 1).alias("cell_id"),
+        F.col(vec_col).alias("centroid"),
+    )
+    # assignment is a pure projection: the centroid table is tiny (n_cells
+    # rows), so materialize it into a literal and take the per-row argmax
+    # inside whole-stage codegen — zero shuffle, zero join, unlike a
+    # crossJoin+groupBy(id) which would reshuffle N×n_cells rows
+    cent_rows = centroids.collect()
+    cells = []
+    for r in cent_rows:
+        cvec = F.array(*[F.lit(float(x)) for x in r["centroid"]])
+        sim = dot(F.col(vec_col), cvec) / (l2_norm(F.col(vec_col)) * l2_norm(cvec))
+        cells.append(F.struct(sim.alias("s"), F.lit(-r["cell_id"]).alias("t"), F.lit(r["cell_id"]).alias("c")))
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.array_max(F.array(*cells))["c"].alias("cell_id"),
     )
     return centroids, assigned
 

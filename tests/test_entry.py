@@ -42,7 +42,7 @@ def test_every_query_has_callable_and_oracle_keys_subset():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "q_minhash_near_dups", "q_simhash_near_dups", "q_lsh_buckets",
-        "q_ivf_topk", "q_winnow_fingerprints",
+        "q_ivf_topk", "q_winnow_fingerprints", "q_embed_near_pairs_lsh",
     }
 
 
