@@ -79,3 +79,40 @@ UNKNOWN_HOST = "unknown"
 # Tool-task types queued on scope='local'
 # (/root/reference/providers/process/abstractProcessor.js:243-246).
 LOCAL_TOOL_TYPES: tuple[str, ...] = ("licensee", "reuse", "scancode", "fossology")
+
+# Named traversal policies → (fetch family, freshness)
+# (/root/reference/ghcrawler/lib/traversalPolicy.js:124-171).
+# Fetch families (traversalPolicy.js:4-11): storageOnly / originStorage /
+# storageOriginIfMissing / mutables / originOnly. Freshness
+# (traversalPolicy.js:12-17): always / match / version / matchOrVersion,
+# or an int N — "stored copy older than N" — measured here in epochs
+# (shouldProcess, traversalPolicy.js:211-231). `originStorage` and
+# `mutables` coincide in this model: the only immutable type the
+# reference special-cases is 'commit' (traversalPolicy.js:243-245),
+# which never appears in ClearlyDefined coordinates.
+NAMED_POLICIES: dict[str, tuple[str, str | int]] = {
+    "default": ("mutables", "match"),
+    "event": ("mutables", "match"),
+    "refresh": ("mutables", "match"),
+    "reload": ("originStorage", "match"),
+    "reprocess": ("storageOnly", "version"),
+    "reprocessAndDiscover": ("storageOriginIfMissing", "version"),
+    "reprocessAndUpdate": ("mutables", "matchOrVersion"),
+    "always": ("originOnly", "always"),
+    "reprocessAlways": ("storageOnly", "always"),
+    "reharvestAlways": ("mutables", "always"),
+}
+
+# Per-processor schema versions (the reference's processor `_schemaVersion`,
+# e.g. providers/process/scancode.js toolVersion/schemaVersion): the
+# 'version' / 'matchOrVersion' freshness gates reprocess a stored doc iff
+# its stamped version is behind the current one. Types absent here run at
+# version 1. Bump a type's version (engine/simulator `processor_versions`
+# param) to trigger the reference's redeploy-and-reprocess flow.
+DEFAULT_PROCESSOR_VERSIONS: dict[str, int] = {}
+
+# Types with outgoing visitor-map edges (VisitorMap.hasNextStep,
+# ghcrawler/lib/visitorMap.js:94-105): a request whose freshness gate says
+# "don't process" is still traversed when its type has next steps
+# (crawler.js:489-499 processMode='traverse'), else markSkip('Excluded').
+# Derived statically from data/visitor_map.VISITOR_EDGES parents.

@@ -66,12 +66,32 @@ REGISTRY_SCHEMA = T.StructType(
         T.StructField("release_seq", T.IntegerType()),
         T.StructField("status", T.IntegerType()),
         T.StructField("fail_attempts", T.IntegerType()),
+        # origin ETag for conditional refetch (crawler.js:426-433; the
+        # github fetcher's If-None-Match flow): changes whenever upstream
+        # content changes — fixtures mutate it to simulate an upstream edit
+        T.StructField("etag", T.StringType()),
         T.StructField("source_type", T.StringType()),
         T.StructField("source_provider", T.StringType()),
         T.StructField("source_namespace", T.StringType()),
         T.StructField("source_name", T.StringType()),
         T.StructField("source_revision", T.StringType()),
+        # ordered candidate repo URLs for source discovery (sourceDiscovery
+        # .js:23-37) — used when source_* is not pre-resolved; the engine
+        # resolves them against the tags dim at construction
+        T.StructField("candidate_urls", T.ArrayType(T.StringType())),
         T.StructField("payload_spans", SPANS_TYPE),
+    ]
+)
+
+# git tag refs dim for source discovery (discoverFromGitHubTags,
+# /root/reference/lib/sourceDiscovery.js:107-128): one row per
+# (repo, tag) with the commit sha the ref points at
+TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("owner", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("sha", T.StringType()),
     ]
 )
 
@@ -153,6 +173,7 @@ def gen_registry_py(n_names: int = 50, seed: int = 42) -> list[dict]:
                     "release_seq": i * 100 + v,
                     "status": status,
                     "fail_attempts": fail_attempts,
+                    "etag": f'W/"{_sha(doc_key + ":rev0")[:16]}"',
                     "source_type": "git" if has_source else None,
                     "source_provider": "github" if has_source else None,
                     "source_namespace": (namespace or name) if has_source else None,
@@ -201,7 +222,14 @@ def gen_robots_py(seed: int = 42) -> list[dict]:
 # -- Spark-side fixture tables ------------------------------------------------
 
 def registry_df(spark: SparkSession, rows: list[dict] | None = None, **kw) -> DataFrame:
-    return spark.createDataFrame(rows if rows is not None else gen_registry_py(**kw), REGISTRY_SCHEMA)
+    rows = rows if rows is not None else gen_registry_py(**kw)
+    # etag / candidate_urls optional in hand-built fixtures
+    rows = [{"etag": None, "candidate_urls": None, **r} for r in rows]
+    return spark.createDataFrame(rows, REGISTRY_SCHEMA)
+
+
+def tags_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    return spark.createDataFrame(rows, TAGS_SCHEMA)
 
 
 def seeds_df(spark: SparkSession, rows: list[dict] | None = None, **kw) -> DataFrame:

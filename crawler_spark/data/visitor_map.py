@@ -51,6 +51,12 @@ VISITOR_EDGES: list[tuple[str, str, str, str, str]] = (
     + [("source", tool, tool, "local", "always") for tool in TOOL_TASKS]
 )
 
+# Types with outgoing edges — VisitorMap.hasNextStep
+# (/root/reference/ghcrawler/lib/visitorMap.js:94-105): an unprocessed
+# request of one of these types is still traversed (crawler.js:495-499);
+# the rest are terminals → markSkip('Excluded').
+TRAVERSABLE_TYPES: tuple[str, ...] = tuple(sorted({p for (p, _n, _t, _s, _c) in VISITOR_EDGES}))
+
 VISITOR_MAP_SCHEMA = "parent_type string, child_name string, child_type string, child_scope string, condition string"
 
 

@@ -50,7 +50,10 @@ from pyspark.sql import functions as F
 from crawler_spark.config import (
     DEFAULT_BATCH_BUDGET,
     DEFAULT_HOST_BUDGET,
+    DEFAULT_PROCESSOR_VERSIONS,
+    FETCH_CACHE_TTL_EPOCHS,
     MAX_REQUEUE_ATTEMPTS,
+    NAMED_POLICIES,
     POP_RNG_SEED,
     REQUEUE_DELAY_EPOCHS,
 )
@@ -58,6 +61,7 @@ from crawler_spark.data.visitor_map import (
     PACKAGE_SPEC_TYPES,
     SOURCE_SPEC_TYPES,
     TERMINAL_TYPES,
+    TRAVERSABLE_TYPES,
     VISITOR_EDGES,
     visitor_map_df,
 )
@@ -77,9 +81,13 @@ _LOG_COLS = ["epoch", "pop_index", "type", "url", "queue", "scope", "outcome", "
 
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     """POST /requests equivalent: rationalize + canonicalize seed rows into
-    frontier entries (/root/reference/ghcrawler/routes/requests.js:24-41)."""
+    frontier entries (/root/reference/ghcrawler/routes/requests.js:24-41).
+    The `_seed_bypass` marker lets enqueue_batch admit external
+    re-submissions past the global seen set (the reference pushes every
+    POSTed request; its seen history is per-traversal)."""
     parsed = with_parsed_coordinates(seeds.withColumnRenamed("type", "request_type"), "url")
-    return parsed.select(
+    return parsed.withColumn("_seed_bypass", F.lit(True)).select(
+        "_seed_bypass",
         F.col("canonical_url").alias("url"),
         F.col("request_type").alias("type"),
         F.col("type").alias("spec_type"),
@@ -112,7 +120,9 @@ def enqueue_batch(
 
     `entries` must carry `_order`-able columns (`order_cols`) defining the
     reference push order. Returns (new_frontier_rows, new_seen_rows,
-    counters). Mirrors CrawlSimulator.enqueue_batch.
+    counters, cached_nodes) — the caller unpersists `cached_nodes` after
+    committing so the write path reuses the selection. Mirrors
+    CrawlSimulator.enqueue_batch.
 
     When `seen_filters` is given (per-partition bloom/cuckoo states from
     seenset.build_filters), the seen anti-join is bloom-accelerated:
@@ -135,15 +145,15 @@ def enqueue_batch(
         .withColumn("_is_dup", F.col("_dup_rank") > 1)
     )
     deduped = deduped.cache()
-    n_total = deduped.count()
-    n_attenuated = deduped.filter("_is_dup").count()
     uniq = deduped.filter(~F.col("_is_dup")).drop("_dup_rank", "_is_dup")
 
     fresh = uniq.filter(F.col("attempt_count") == 0)
     requeued = uniq.filter(F.col("attempt_count") > 0)
     skey = _seen_key(F.col("type"), F.col("url"))
-    # reprocess-family policies revisit despite history
-    # (traversalPolicy.js:135-154); everything else is seen-filtered.
+    # Seen-set bypass: reprocess-family policies revisit despite history
+    # (traversalPolicy.js:135-154), and external seed submissions always
+    # enqueue (POST /requests pushes unconditionally — the global seen set
+    # gates traversal-discovered children). Everything else is filtered.
     # _krank orders same-key rows within the batch: the first introduces
     # the key (simulator processes sequentially — later same-key default
     # rows in the SAME batch are filtered too).
@@ -152,6 +162,8 @@ def enqueue_batch(
         | policy_root.startswith("always")
         | policy_root.startswith("reharvest")
     )
+    if "_seed_bypass" in entries.columns:
+        is_reprocess = is_reprocess | F.coalesce(F.col("_seed_bypass"), F.lit(False))
     w_key = Window.partitionBy(skey).orderBy(*okey)
     fresh2 = fresh.withColumn("_skey", skey).withColumn(
         "_krank", F.row_number().over(w_key)
@@ -175,6 +187,7 @@ def enqueue_batch(
             seen.select(F.col("seen_key").alias("_skey"), F.lit(True).alias("_ex")),
             "_skey", "left",
         )
+    flagged = flagged.cache()
     known = F.coalesce(F.col("_ex"), F.lit(False)) | (F.col("_krank") > 1)
     unseen = flagged.filter(is_reprocess | ~known)
     new_seen = (
@@ -182,7 +195,7 @@ def enqueue_batch(
         .select("type", "url")
     )
     unseen = unseen.drop("_skey", "_krank", "_ex")
-    accepted = unseen.unionByName(requeued)
+    accepted = unseen.unionByName(requeued.select(*unseen.columns))
     w_seq = Window.orderBy(*okey)  # epoch-batch sized; see module scale note
     accepted = accepted.withColumn(
         "enqueued_seq", (F.row_number().over(w_seq) - 1 + F.lit(next_seq)).cast("long")
@@ -193,11 +206,28 @@ def enqueue_batch(
         F.xxhash64(_seen_key(F.col("type"), F.col("url"))).alias("seen_hash"),
         F.lit(seen_epoch).cast("int").alias("first_seen_epoch"),
     )
-    n_enqueued = accepted.count()
-    n_seen_filtered = n_total - n_attenuated - n_enqueued
-    counters = {"attenuated": n_attenuated, "seen_filtered": n_seen_filtered, "enqueued": n_enqueued}
-    deduped.unpersist()
-    return new_frontier, new_seen, counters
+    # ONE driver action for all three counters (the old shape was three
+    # .count() barriers per enqueue — the measured serial floor,
+    # BASELINE.md): tag every entry with its fate over the two cached
+    # nodes and aggregate once.
+    fate_rows = (
+        deduped.filter(F.col("_is_dup")).select(F.lit("att").alias("_fate"))
+        .unionAll(requeued.select(F.lit("enq").alias("_fate")))
+        .unionAll(
+            flagged.select(
+                F.when(is_reprocess | ~known, F.lit("enq")).otherwise(F.lit("seen")).alias("_fate")
+            )
+        )
+    )
+    fc = {r["_fate"]: r["n"] for r in fate_rows.groupBy("_fate").agg(F.count("*").alias("n")).collect()}
+    counters = {
+        "attenuated": fc.get("att", 0),
+        "seen_filtered": fc.get("seen", 0),
+        "enqueued": fc.get("enq", 0),
+    }
+    # caller unpersists [deduped, flagged] AFTER committing, so the write
+    # path reuses the cached selection instead of recomputing it
+    return new_frontier, new_seen, counters, [deduped, flagged]
 
 
 class CrawlEngine:
@@ -214,6 +244,10 @@ class CrawlEngine:
         rng_seed: int = POP_RNG_SEED,
         use_seen_filters: bool = False,
         n_filter_parts: int = 16,
+        policies: dict[str, tuple[str, str | int]] | None = None,
+        processor_versions: dict[str, int] | None = None,
+        fetch_cache_ttl: int = FETCH_CACHE_TTL_EPOCHS,
+        tags: DataFrame | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -224,7 +258,31 @@ class CrawlEngine:
         # smaller anti-join probe side — the 10^10-scale path
         self.use_seen_filters = use_seen_filters
         self.n_filter_parts = n_filter_parts
+        if "etag" not in registry.columns:
+            registry = registry.withColumn("etag", F.lit(None).cast("string"))
+        if tags is not None:
+            # source discovery (P22): fill unresolved source_* columns from
+            # candidate URLs × the tags dim — a registry-dim preprocessing
+            # join, so the has_source expansion edge consumes discovered
+            # locations transparently (npmExtract.js:41-45 flow)
+            from crawler_spark.operators.discovery import resolve_registry_sources
+
+            registry = resolve_registry_sources(registry, tags)
         self.registry = registry
+        # policy algebra dim (traversalPolicy.js:124-171 + custom specs):
+        # tiny, broadcast into the fetch join. Integer freshness becomes
+        # kind='days' with the horizon in f_n (epoch units).
+        self.policies = {**NAMED_POLICIES, **(policies or {})}
+        self.processor_versions = {**DEFAULT_PROCESSOR_VERSIONS, **(processor_versions or {})}
+        self.fetch_cache_ttl = fetch_cache_ttl
+        self.policy_dim = spark.createDataFrame(
+            [
+                (root, fam, "days" if isinstance(fresh, int) else fresh,
+                 fresh if isinstance(fresh, int) else None)
+                for root, (fam, fresh) in self.policies.items()
+            ],
+            "policy_root string, family string, fkind string, f_n int",
+        )
         self.robots = robots if robots is not None else spark.createDataFrame(
             [], "host string, disallow_prefix string"
         )
@@ -257,12 +315,40 @@ class CrawlEngine:
             [], "seen_key string, seen_hash long, first_seen_epoch int"
         )
         entries = seeds_to_frontier(seeds)
-        front, seen_new, counters = enqueue_batch(entries, empty_seen, 0, ["_order"], seen_epoch=0)
+        front, seen_new, counters, cached = enqueue_batch(entries, empty_seen, 0, ["_order"], seen_epoch=0)
         self.store.commit(
             epoch=-1,
             replace={"frontier": front, "seen": seen_new},
             meta={"next_seq": counters["enqueued"], "counters": counters},
         )
+        for df in cached:
+            df.unpersist()
+        return counters
+
+    # ------------------------------------------------------------------
+    def submit_requests(self, seeds: DataFrame, epoch: int) -> dict:
+        """POST /requests mid-crawl (routes/requests.js:24-41):
+        canonicalize + enqueue external submissions into the current
+        snapshot's frontier. Seeds bypass the global seen filter (the
+        reference pushes every POSTed request — its seen history is
+        per-traversal), which is how re-submitted default/reload/refresh
+        requests reach the freshness gates at all."""
+        snap = self.store.snapshot()
+        next_seq = int(snap.meta.get("next_seq", 0))
+        frontier = self.store.read("frontier")
+        seen = self.store.read("seen")
+        entries = seeds_to_frontier(seeds)
+        front, seen_new, counters, cached = enqueue_batch(entries, seen, next_seq, ["_order"], seen_epoch=epoch)
+        self.store.commit(
+            epoch=snap.epoch,
+            replace={
+                "frontier": frontier.unionByName(front),
+                "seen": seen.unionByName(seen_new),
+            },
+            meta={"next_seq": next_seq + counters["enqueued"], "counters": counters},
+        )
+        for df in cached:
+            df.unpersist()
         return counters
 
     # ------------------------------------------------------------------
@@ -336,7 +422,10 @@ class CrawlEngine:
         docs_now = self.store.read("documents")
         if docs_now is None:
             docs_now = self.spark.createDataFrame(
-                [], "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, doc_type string, epoch int"
+                [],
+                "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+                "doc_type string, epoch int, etag string, fetched_at_epoch int, "
+                "processed_at_epoch int, version int",
             )
         outcomes = self._fetch_and_route(scheduled, epoch, docs_now)
         outcomes = outcomes.cache()
@@ -363,8 +452,12 @@ class CrawlEngine:
         # -- documents landing (K1-K3): fetched payloads + tool outputs
         docs = self._documents_of(processed, epoch)
 
-        # -- expansion (P1-P24 routing collapsed into the visitor-map join)
-        children = self._expand(processed, epoch)
+        # -- expansion (P1-P24 routing via the visitor-map join); Traversed
+        # rows expand WITHOUT re-landing a doc (processMode='traverse',
+        # markNoSave — crawler.js:495-497)
+        children = self._expand(
+            outcomes.filter(F.col("outcome").isin("Processed", "Traversed")), epoch
+        )
 
         new_entries = requeues.unionByName(children)
         seen_filters = None
@@ -372,7 +465,7 @@ class CrawlEngine:
             from crawler_spark.operators.seenset import build_filters
 
             seen_filters = build_filters(seen, "seen_hash", self.n_filter_parts)
-        new_frontier_rows, new_seen_rows, counters = enqueue_batch(
+        new_frontier_rows, new_seen_rows, counters, enq_cached = enqueue_batch(
             new_entries, seen, next_seq, ["_grp", "_ord1", "_ord2"], seen_epoch=epoch,
             seen_filters=seen_filters, n_filter_parts=self.n_filter_parts,
         )
@@ -392,14 +485,18 @@ class CrawlEngine:
             )
         )
 
-        # -- metrics (per-partition lineage + counters, north rule)
-        oc = {r["outcome"]: r["cnt"] for r in outcomes.groupBy("outcome").agg(F.count("*").alias("cnt")).collect()}
-        n_excluded = excluded.count()
+        # -- metrics (per-partition lineage + counters, north rule): ONE
+        # aggregation over the unified log covers the robots-excluded count
+        # AND every outcome count (was two driver actions — serial floor)
+        oc = {r["outcome"]: r["cnt"] for r in log.groupBy("outcome").agg(F.count("*").alias("cnt")).collect()}
+        n_excluded = oc.pop("RobotsExcluded", 0)
         metrics = {
             "epoch": epoch,
             "robots_excluded": n_excluded,
             "scheduled": sum(oc.values()),
             "processed": oc.get("Processed", 0),
+            "traversed": oc.get("Traversed", 0),
+            "excluded": oc.get("Excluded", 0),
             "skipped": oc.get("Skipped", 0),
             "requeued": oc.get("Requeued", 0),
             "deadlettered": oc.get("Deadletter", 0),
@@ -417,7 +514,8 @@ class CrawlEngine:
                 *[
                     F.sum(F.when(F.col("outcome") == oc, 1).otherwise(0)).alias(col)
                     for oc, col in [
-                        ("Processed", "processed"), ("Skipped", "skipped"),
+                        ("Processed", "processed"), ("Traversed", "traversed"),
+                        ("Excluded", "excluded"), ("Skipped", "skipped"),
                         ("Requeued", "requeued"), ("Deadletter", "deadlettered"),
                     ]
                 ],
@@ -462,59 +560,149 @@ class CrawlEngine:
         )
         offered.unpersist()
         outcomes.unpersist()
+        for df in enq_cached:
+            df.unpersist()
         return metrics
 
     # ------------------------------------------------------------------
+    def _cur_version_col(self) -> F.Column:
+        """Current processor schema version for the request type (the
+        'version' freshness comparand) — a when-chain over the tiny
+        processor_versions dict, default 1."""
+        cur = F.lit(1)
+        for t, v in self.processor_versions.items():
+            cur = F.when(F.col("type") == t, F.lit(v)).otherwise(cur)
+        return cur.cast("int")
+
+    @staticmethod
+    def _should_process_storage(stored_version, stored_processed, cur_version, epoch: int):
+        """shouldProcess for STORAGE-served content, per freshness kind
+        (traversalPolicy.js:211-231). Origin/cache fetches always process
+        (a fresh fetch result carries no prior _metadata), so only the
+        storage branch needs the full matrix:
+          match          → never (content didn't come from origin)
+          version/matchOrVersion → stored version missing or behind
+          days (N)       → stored processedAt missing or > N epochs old
+          always         → always
+        """
+        kind = F.col("fkind")
+        return (
+            F.when(kind == "always", F.lit(True))
+            .when(kind == "match", F.lit(False))
+            .when(
+                kind.isin("version", "matchOrVersion"),
+                stored_version.isNull() | (stored_version < cur_version),
+            )
+            .when(
+                kind == "days",
+                stored_processed.isNull() | ((F.lit(epoch) - stored_processed) > F.col("f_n")),
+            )
+            .otherwise(F.lit(False))
+        )
+
     def _fetch_and_route(self, scheduled: DataFrame, epoch: int, docs_now: DataFrame) -> DataFrame:
-        """Join the scheduled batch against the registry dims and attach
-        outcome + resolved coordinates + payload/source columns.
+        """Join the scheduled batch against the registry + document dims
+        and attach outcome + resolved coordinates + payload/source/doc
+        stamp columns. Implements the full TraversalPolicy algebra:
 
-        Storage-first (F1, dispatcher.js:29-43): an exact-revision request
-        whose document already landed in a PRIOR epoch (docs_now = the
-        epoch-start snapshot) is served from the store — origin='storage',
-        payload = stored spans, no 404/throttle fate (no network)."""
+        * fetch families (traversalPolicy.js:4-11): storageOnly /
+          storageOriginIfMissing serve any stored doc (storage rules);
+          mutables / originStorage serve a stored doc only while the 8h
+          fetched-cache window holds (cdConfig.js:22, dispatcher.js:77-114)
+          OR its etag still matches origin (304 revalidation,
+          crawler.js:426-433) — stale + changed-etag falls through to a
+          full origin fetch with fates; originOnly ignores storage but
+          still hits the dispatcher's fetched-result cache (origin='cache',
+          no fate checks — a cached *origin* result replays).
+        * freshness gate (shouldProcess, traversalPolicy.js:211-231) forks
+          Processed vs Traversed (expand only, markNoSave) vs Excluded
+          (terminal, crawler.js:481-499).
+
+        All dims (registry names, registry rows, policy dim) broadcast;
+        the stored-doc joins are hash joins keyed on doc_id — uniform,
+        skew-free. Fates (404/throttle) apply only to true origin fetches."""
         fetchable = scheduled.filter(F.col("type").isin(*PACKAGE_SPEC_TYPES))
-        nonfetch = scheduled.filter(~F.col("type").isin(*PACKAGE_SPEC_TYPES))
+        terminal = scheduled.filter(F.col("type").isin(*TERMINAL_TYPES))
+        structural = scheduled.filter(
+            ~F.col("type").isin(*PACKAGE_SPEC_TYPES) & ~F.col("type").isin(*TERMINAL_TYPES)
+        )
+        pol = F.broadcast(self.policy_dim)
+        policy_root = F.split_part(F.col("policy"), F.lit(":"), F.lit(1))
 
-        # null-safe namespace key ('-' sentinel — the canonical null form,
-        # entitySpec.js:48); a plain equi-join would drop null=null matches.
-        ns_key = F.coalesce(F.col("namespace"), F.lit("-")).alias("_ns")
+        def with_policy(df: DataFrame) -> DataFrame:
+            out = df.withColumn("policy_root", policy_root).join(pol, "policy_root", "left")
+            return (
+                out.withColumn("family", F.coalesce(F.col("family"), F.lit("mutables")))
+                .withColumn("fkind", F.coalesce(F.col("fkind"), F.lit("match")))
+                .drop("policy_root")
+            )
+
+        # latest store row per doc_id (documents is an append log; the
+        # newest epoch's metadata wins — max_by, no window)
+        stored = (
+            docs_now.select(
+                "doc_id",
+                F.struct("epoch", "spans", "etag", "fetched_at_epoch",
+                         "processed_at_epoch", "version").alias("_d"),
+            )
+            .groupBy("doc_id")
+            .agg(F.max_by(F.col("_d"), F.col("_d")["epoch"]).alias("_d"))
+        )
+        stored_subject = stored.select(
+            F.col("doc_id").alias("url"),
+            F.col("_d.spans").alias("_stored_spans"),
+            F.col("_d.etag").alias("_stored_etag"),
+            F.col("_d.fetched_at_epoch").alias("_stored_fetched"),
+            F.col("_d.processed_at_epoch").alias("_stored_processed"),
+            F.col("_d.version").alias("_stored_version"),
+        )
+        cur_version = self._cur_version_col()
+        ttl = F.lit(self.fetch_cache_ttl)
+        traversable = F.col("type").isin(*TRAVERSABLE_TYPES)
+
+        # ---- fetchable (concrete package types) --------------------------
         names = F.broadcast(
             self.registry_names.withColumn("_ns", F.coalesce(F.col("namespace"), F.lit("-"))).drop("namespace")
         )
-        j = fetchable.withColumn("_ns", F.coalesce(F.col("namespace"), F.lit("-"))).join(
+        j = with_policy(fetchable).withColumn("_ns", F.coalesce(F.col("namespace"), F.lit("-"))).join(
             names, ["provider", "_ns", "name"], "left"
         )
-        resolved_rev = F.coalesce(F.col("revision"), F.col("latest_version"))
-        j = j.withColumn("resolved_revision", resolved_rev)
+        j = j.withColumn("resolved_revision", F.coalesce(F.col("revision"), F.col("latest_version")))
         full = F.broadcast(
             self.registry.select(
                 "provider",
                 F.coalesce(F.col("namespace"), F.lit("-")).alias("_ns"),
                 "name",
                 F.col("version").alias("resolved_revision"),
+                F.col("etag").alias("_reg_etag"),
                 "payload_spans", "source_type", "source_provider",
                 "source_namespace", "source_name", "source_revision",
             )
         )
         j = j.join(full, ["provider", "_ns", "name", "resolved_revision"], "left")
-        # storage-first: stored doc for the as-requested exact revision
-        stored = docs_now.select(
-            F.col("doc_id").alias("url"), F.col("spans").alias("_stored_spans")
-        ).dropDuplicates(["url"])
-        j = j.join(stored, "url", "left")
-        # fetch policy (traversalPolicy.js:4-11, 124-171): default family is
-        # storage-first/origin-on-miss; reprocess family is storageOnly
-        # (miss ⇒ markSkip); always/reharvest families are originOnly
-        policy_root = F.split_part(F.col("policy"), F.lit(":"), F.lit(1))
-        storage_allowed = ~(policy_root.startswith("always") | policy_root.startswith("reharvest"))
-        storage_only = policy_root.startswith("reprocess")
-        storage_hit = (
-            storage_allowed & F.col("revision").isNotNull() & F.col("_stored_spans").isNotNull()
-        )
+        j = j.join(stored_subject, "url", "left")
+
+        storage_allowed = F.col("family") != "originOnly"
+        storage_rules = F.col("family").isin("storageOnly", "storageOriginIfMissing")
+        storage_only = F.col("family") == "storageOnly"
+        has_stored = F.col("revision").isNotNull() & F.col("_stored_spans").isNotNull()
+        cache_fresh = F.coalesce(F.col("_stored_fetched") + ttl > F.lit(epoch), F.lit(False))
+        etag_ok = F.col("_reg_etag").isNull() | F.col("_stored_etag").eqNullSafe(F.col("_reg_etag"))
+        storage_hit = has_stored & storage_allowed & (storage_rules | cache_fresh | etag_ok)
+        cache_hit = ~storage_hit & has_stored & (F.col("family") == "originOnly") & cache_fresh
+        served = storage_hit | cache_hit
         throttled = F.col("attempt_count") < F.col("fail_attempts")
+        sp_storage = self._should_process_storage(
+            F.col("_stored_version"), F.col("_stored_processed"), cur_version, epoch
+        )
+        gated = (
+            F.when(sp_storage, "Processed")
+            .when(traversable, "Traversed")
+            .otherwise("Excluded")
+        )
         outcome = (
-            F.when(storage_hit, "Processed")  # no origin fetch, no fate checks
+            F.when(storage_hit, gated)
+            .when(cache_hit, "Processed")  # cached origin result → fresh-content semantics
             .when(storage_only, "Skipped")  # storageOnly miss → markSkip
             .when(F.col("status").isNull(), "Skipped")  # markSkip 'Missing'
             .when(F.col("status") == 404, "Skipped")
@@ -523,7 +711,7 @@ class CrawlEngine:
                 F.when(F.col("attempt_count") + 1 > MAX_REQUEUE_ATTEMPTS, "Deadletter").otherwise("Requeued"),
             )
             .when(F.col("payload_spans").isNull(), "Skipped")  # revision not in registry
-            .otherwise("Processed")
+            .otherwise("Processed")  # origin fetch: no prior metadata → every freshness kind processes
         )
         # URL rewrite after revision resolution (abstractFetch semantics):
         # the log keeps the as-scheduled url; documents/expansion use the
@@ -532,46 +720,113 @@ class CrawlEngine:
             F.col("spec_type"), F.col("provider"), F.col("namespace"),
             F.col("name"), F.col("resolved_revision"),
         )
+        landed = outcome.isin("Processed", "Traversed")
         fetched = j.select(
             *scheduled.columns,
             outcome.alias("outcome"),
-            F.when(storage_hit, "storage").otherwise("origin").alias("origin"),
-            F.when(outcome == "Processed", F.col("resolved_revision")).otherwise(F.col("revision")).alias("resolved_rev"),
-            F.when(outcome == "Processed", resolved_url).otherwise(F.col("url")).alias("resolved_url"),
-            F.when(storage_hit, F.col("_stored_spans")).otherwise(F.col("payload_spans")).alias("payload_spans"),
+            F.when(storage_hit, "storage").when(cache_hit, "cache").otherwise("origin").alias("origin"),
+            F.when(landed, F.col("resolved_revision")).otherwise(F.col("revision")).alias("resolved_rev"),
+            F.when(landed, resolved_url).otherwise(F.col("url")).alias("resolved_url"),
+            F.when(served, F.col("_stored_spans")).otherwise(F.col("payload_spans")).alias("payload_spans"),
             "source_type", "source_provider", "source_namespace",
             "source_name", "source_revision",
+            F.when(served, F.col("_stored_etag")).otherwise(F.col("_reg_etag")).alias("doc_etag"),
+            F.when(served, F.col("_stored_fetched")).otherwise(F.lit(epoch)).cast("int").alias("doc_fetched_at"),
+            cur_version.alias("cur_version"),
+        )
+
+        # ---- terminals (tool tasks) --------------------------------------
+        # subject fetch goes through the dispatcher: a stored TOOL doc
+        # (keyed by the tool URN) is the storage-first hit; otherwise the
+        # subject content comes from the 8h fetched-cache when the package
+        # fetch is recent (same cacheKey — the subject's url path), else a
+        # true origin roundtrip. Tool tasks carry no fetch fates (their
+        # subject already landed).
+        turn = to_urn(
+            F.col("spec_type"), F.col("provider"), F.col("namespace"), F.col("name"),
+            F.col("revision"), F.col("type"),
+        )
+        stored_tool = stored.select(
+            F.col("doc_id").alias("_turn"),
+            F.col("_d.processed_at_epoch").alias("_tool_processed"),
+            F.col("_d.version").alias("_tool_version"),
+            F.lit(True).alias("_has_tool"),
+        )
+        tj = (
+            with_policy(terminal)
+            .withColumn("_turn", turn)
+            .join(stored_tool, "_turn", "left")
+            .join(
+                stored_subject.select("url", F.col("_stored_fetched").alias("_subj_fetched")),
+                "url", "left",
+            )
+        )
+        t_storage_hit = F.coalesce(F.col("_has_tool"), F.lit(False)) & storage_allowed
+        t_subj_fresh = F.coalesce(F.col("_subj_fetched") + ttl > F.lit(epoch), F.lit(False))
+        t_sp = self._should_process_storage(
+            F.col("_tool_version"), F.col("_tool_processed"), cur_version, epoch
+        )
+        t_outcome = F.when(
+            t_storage_hit, F.when(t_sp, "Processed").otherwise("Excluded")  # terminals never traverse
+        ).otherwise("Processed")
+        null_spans = F.lit(None).cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
         )
         nulls = [
-            F.lit(None).cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>").alias("payload_spans"),
+            null_spans.alias("payload_spans"),
             F.lit(None).cast("string").alias("source_type"),
             F.lit(None).cast("string").alias("source_provider"),
             F.lit(None).cast("string").alias("source_namespace"),
             F.lit(None).cast("string").alias("source_name"),
             F.lit(None).cast("string").alias("source_revision"),
         ]
-        nonfetched = nonfetch.select(
+        terminated = tj.select(
+            *scheduled.columns,
+            t_outcome.alias("outcome"),
+            F.when(t_storage_hit, "storage").when(t_subj_fresh, "cache").otherwise("origin").alias("origin"),
+            F.col("revision").alias("resolved_rev"),
+            F.col("url").alias("resolved_url"),
+            *nulls,
+            F.lit(None).cast("string").alias("doc_etag"),
+            F.lit(epoch).cast("int").alias("doc_fetched_at"),
+            cur_version.alias("cur_version"),
+        )
+
+        # ---- structural (component/package/source): no stored doc of
+        # their own → every freshness gate passes, no fates
+        structured = structural.select(
             *scheduled.columns,
             F.lit("Processed").alias("outcome"),
             F.lit("origin").alias("origin"),
             F.col("revision").alias("resolved_rev"),
             F.col("url").alias("resolved_url"),
             *nulls,
+            F.lit(None).cast("string").alias("doc_etag"),
+            F.lit(epoch).cast("int").alias("doc_fetched_at"),
+            cur_version.alias("cur_version"),
         )
-        return fetched.unionByName(nonfetched).select(
+        return fetched.unionByName(terminated).unionByName(structured).select(
             *scheduled.columns, "outcome", "origin", "resolved_rev", "resolved_url",
             "payload_spans", "source_type",
             "source_provider", "source_namespace", "source_name", "source_revision",
+            "doc_etag", "doc_fetched_at", "cur_version",
         )
 
     # ------------------------------------------------------------------
     def _documents_of(self, processed: DataFrame, epoch: int) -> DataFrame:
-        """Fetched payload spans + tool-output docs (K1/K3 sinks)."""
+        """Fetched payload spans + tool-output docs (K1/K3 sinks), stamped
+        with the reference's _metadata (crawler.js:423-443, 650): etag +
+        fetchedAt carried over for storage/cache-served reprocessing,
+        processedAt = now, version = the current processor version."""
         fetched_docs = processed.filter(F.col("payload_spans").isNotNull()).select(
             F.col("resolved_url").alias("doc_id"),
             F.col("payload_spans").alias("spans"),
             F.col("type").alias("doc_type"),
             F.lit(epoch).alias("epoch"),
+            F.col("doc_etag").alias("etag"),
+            F.col("doc_fetched_at").alias("fetched_at_epoch"),
+            F.lit(epoch).cast("int").alias("processed_at_epoch"),
+            F.col("cur_version").alias("version"),
         )
         tool = processed.filter(F.col("type").isin(*TERMINAL_TYPES))
         tool_docs = tool.select(
@@ -589,6 +844,10 @@ class CrawlEngine:
             ).alias("spans"),
             F.col("type").alias("doc_type"),
             F.lit(epoch).alias("epoch"),
+            F.lit(None).cast("string").alias("etag"),
+            F.lit(epoch).cast("int").alias("fetched_at_epoch"),
+            F.lit(epoch).cast("int").alias("processed_at_epoch"),
+            F.col("cur_version").alias("version"),
         )
         return fetched_docs.unionByName(tool_docs)
 

@@ -30,7 +30,10 @@ from dataclasses import dataclass, field
 from crawler_spark.config import (
     DEFAULT_BATCH_BUDGET,
     DEFAULT_HOST_BUDGET,
+    DEFAULT_PROCESSOR_VERSIONS,
+    FETCH_CACHE_TTL_EPOCHS,
     MAX_REQUEUE_ATTEMPTS,
+    NAMED_POLICIES,
     PROVIDER_HOSTS,
     QUEUE_NAMES,
     REQUEUE_DELAY_EPOCHS,
@@ -40,6 +43,7 @@ from crawler_spark.data.visitor_map import (
     PACKAGE_SPEC_TYPES,
     SOURCE_SPEC_TYPES,
     TERMINAL_TYPES,
+    TRAVERSABLE_TYPES,
     visitor_edges_py,
 )
 from crawler_spark.poporder import epoch_rng, pop_schedule
@@ -142,7 +146,9 @@ FETCHABLE_TYPES = set(PACKAGE_SPEC_TYPES)  # concrete package types consult the 
 class SimResult:
     schedule_log: list[dict] = field(default_factory=list)  # epoch,pop_index,type,url,queue,scope,outcome,attempt
     seen: dict[str, int] = field(default_factory=dict)  # 'type@url' -> first_seen_epoch
-    documents: dict[str, list[dict]] = field(default_factory=dict)  # doc_id -> spans
+    # doc_id -> {spans, etag, fetched_at, processed_at, version}
+    # (the reference's document._metadata: crawler.js:423-443, 650)
+    documents: dict[str, dict] = field(default_factory=dict)
     deadletters: list[dict] = field(default_factory=list)
     metrics: list[dict] = field(default_factory=list)
     epochs_run: int = 0
@@ -156,20 +162,41 @@ class CrawlSimulator:
         host_budget: int = DEFAULT_HOST_BUDGET,
         batch_budget: int = DEFAULT_BATCH_BUDGET,
         rng_seed: int | None = None,
+        policies: dict[str, tuple[str, str | int]] | None = None,
+        processor_versions: dict[str, int] | None = None,
+        fetch_cache_ttl: int = FETCH_CACHE_TTL_EPOCHS,
+        tags_rows: list[dict] | None = None,
     ):
-        self.registry: dict[tuple, list[dict]] = {}
-        for r in registry_rows:
-            self.registry.setdefault((r["provider"], r["namespace"], r["name"]), []).append(r)
+        self.tags_rows = tags_rows
+        self.set_registry(registry_rows)
         self.robots = [(r["host"], r["disallow_prefix"]) for r in (robots_rows or [])]
         self.host_budget = host_budget
         self.batch_budget = batch_budget
         self.rng_seed = rng_seed
+        # named traversal policies (traversalPolicy.js:124-171) + custom
+        # registrations (e.g. {'refresh3': ('originStorage', 3)} for the
+        # N-epoch freshness axis)
+        self.policies = {**NAMED_POLICIES, **(policies or {})}
+        self.processor_versions = {**DEFAULT_PROCESSOR_VERSIONS, **(processor_versions or {})}
+        self.fetch_cache_ttl = fetch_cache_ttl
         self.edges_by_parent: dict[str, list[dict]] = {}
         for e in visitor_edges_py():
             self.edges_by_parent.setdefault(e["parent_type"], []).append(e)
         self.frontier: list[dict] = []
         self.next_seq = 0
         self.res = SimResult()
+
+    def set_registry(self, registry_rows: list[dict]) -> None:
+        """(Re)load the registry dim — fixtures swap it mid-crawl to
+        simulate upstream mutation (new etags/payloads). Source discovery
+        (P22) resolves candidate_urls against the tags dim here, the twin
+        of the engine's registry preprocessing."""
+        from crawler_spark.operators.discovery import resolve_registry_sources_py
+
+        registry_rows = resolve_registry_sources_py(registry_rows, getattr(self, "tags_rows", None))
+        self.registry = {}
+        for r in registry_rows:
+            self.registry.setdefault((r["provider"], r["namespace"], r["name"]), []).append(r)
 
     # -- enqueue ---------------------------------------------------------------
     def _host_of(self, provider: str) -> str:
@@ -180,9 +207,16 @@ class CrawlSimulator:
 
         Attenuation key includes attempt count (attenuatedQueue.js:66-69);
         the URL-seen set is keyed 'type@url' (request.js:382-384). The seen
-        set admits a coordinate once, globally — the batch-engine semantic
-        for the reference's per-traversal history + attenuated cross-pushes
-        (SURVEY.md S2/S3)."""
+        set admits a *traversal-discovered* coordinate once, globally — the
+        batch-engine semantic for the reference's per-traversal history +
+        attenuated cross-pushes (SURVEY.md S2/S3). Bypass rules:
+        - explicit re-crawl policies (reprocess*/always/reharvest*) revisit
+          despite history (traversalPolicy.js:124-171);
+        - externally submitted seeds ('_seed' flag) always enqueue — the
+          reference's POST /requests pushes unconditionally (routes/
+          requests.js:24-41; its seen set is per-traversal, not global),
+          which is what lets a re-seeded default/reload request reach the
+          freshness gates at all."""
         counters = {"attenuated": 0, "seen_filtered": 0, "enqueued": 0}
         batch_keys: set[tuple] = set()
         for e in entries:
@@ -198,10 +232,10 @@ class CrawlSimulator:
             skey = f"{e['type']}@{e['url']}"
             if e.get("attempt_count", 0) == 0:
                 if skey in self.res.seen:
-                    # explicit re-crawl policies (reprocess*/always/
-                    # reharvest*) revisit despite history
-                    # (traversalPolicy.js:124-171)
-                    if not policy_root.startswith(("reprocess", "always", "reharvest")):
+                    if not (
+                        policy_root.startswith(("reprocess", "always", "reharvest"))
+                        or e.get("_seed")
+                    ):
                         counters["seen_filtered"] += 1
                         continue
                 else:
@@ -213,7 +247,9 @@ class CrawlSimulator:
             counters["enqueued"] += 1
         return counters
 
-    def seed(self, seeds: list[dict]) -> dict:
+    def seed(self, seeds: list[dict], epoch: int = 0) -> dict:
+        """POST /requests: enqueue external submissions (can be called
+        mid-crawl — `epoch` stamps the seen-set entries)."""
         entries = []
         for s in seeds:
             c = canonicalize_py(s["url"])
@@ -229,15 +265,17 @@ class CrawlSimulator:
                     "not_before_epoch": int(s.get("not_before") or 0),
                     "parent_epoch": -1,
                     "host": self._host_of(c["provider"]),
+                    "_seed": True,
                 }
             )
-        return self.enqueue_batch(entries, epoch=0)
+        return self.enqueue_batch(entries, epoch=epoch)
 
     # -- one epoch ---------------------------------------------------------------
     def run_epoch(self, epoch: int) -> dict:
         log = self.res.schedule_log
-        m = {"epoch": epoch, "robots_excluded": 0, "scheduled": 0, "processed": 0, "skipped": 0,
-             "requeued": 0, "deadlettered": 0, "attenuated": 0, "seen_filtered": 0, "enqueued": 0}
+        m = {"epoch": epoch, "robots_excluded": 0, "scheduled": 0, "processed": 0, "traversed": 0,
+             "excluded": 0, "skipped": 0, "requeued": 0, "deadlettered": 0, "attenuated": 0,
+             "seen_filtered": 0, "enqueued": 0}
 
         # 1. eligibility: politeness/backoff gate + parent-before-child
         eligible, rest = [], []
@@ -272,7 +310,9 @@ class CrawlSimulator:
         for rows in fifo.values():
             rows.sort(key=lambda e: e["enqueued_seq"])
         counts = {k: len(v) for k, v in fifo.items()}
-        self._docs_at_epoch_start = set(self.res.documents)
+        # epoch-start document snapshot incl. metadata (the engine's
+        # docs_now read — one epoch ≡ one consistent store view)
+        self._docs_at_epoch_start = {k: dict(v) for k, v in self.res.documents.items()}
         rng = epoch_rng(epoch) if self.rng_seed is None else epoch_rng(epoch, self.rng_seed)
         order = pop_schedule(counts, self.batch_budget, rng)
         popped_keys = set()
@@ -286,8 +326,8 @@ class CrawlSimulator:
             log.append(dict(epoch=epoch, pop_index=pop_index, type=e["type"], url=e["url"],
                             queue=e["queue"], scope=e["scope"], outcome=outcome,
                             attempt=e["attempt_count"], origin=origin))
-            key = {"Processed": "processed", "Skipped": "skipped",
-                   "Requeued": "requeued", "Deadletter": "deadlettered"}[outcome]
+            key = {"Processed": "processed", "Traversed": "traversed", "Excluded": "excluded",
+                   "Skipped": "skipped", "Requeued": "requeued", "Deadletter": "deadlettered"}[outcome]
             m[key] += 1
 
         # 5. frontier update: unscheduled survivors + requeues + accepted children
@@ -301,33 +341,114 @@ class CrawlSimulator:
         return m
 
     # -- request processing -------------------------------------------------------
+    def _policy_of(self, e: dict) -> tuple[str, str | int]:
+        """Policy spec root → (fetch family, freshness)
+        (traversalPolicy.js getPolicy + the named constructors 124-171)."""
+        root = (e.get("policy") or "default").split(":")[0]
+        return self.policies.get(root, NAMED_POLICIES["default"])
+
+    def _should_process(self, freshness: str | int, origin: str, stored: dict | None,
+                        cur_version: int, epoch: int) -> bool:
+        """TraversalPolicy.shouldProcess (traversalPolicy.js:211-231).
+
+        `stored` is the doc's prior metadata when it was served from
+        storage, None for origin/cache fetches (a fresh fetch result
+        carries no _metadata.version/processedAt — crawler.js:426-443)."""
+        if freshness == "always":
+            return True
+        if freshness == "match":
+            # process iff the content came from origin (the dispatcher's
+            # 8h fetched-cache re-serves an *origin* result — dispatcher.js
+            # :77-114 — so 'cache' counts as origin here)
+            return origin != "storage"
+        if isinstance(freshness, int):
+            # N freshness: stored processedAt expired (in epochs;
+            # _hasExpired, traversalPolicy.js:95-105)
+            if origin != "storage" or stored is None or stored.get("processed_at") is None:
+                return True
+            return (epoch - stored["processed_at"]) > freshness
+        if freshness in ("version", "matchOrVersion"):
+            # !document.version || version < current — an origin fetch has
+            # no stored version, so 'match' is subsumed (traversalPolicy.js
+            # :226-228)
+            if origin != "storage" or stored is None or stored.get("version") is None:
+                return True
+            return stored["version"] < cur_version
+        raise ValueError(f"Invalid freshness {freshness!r}")
+
+    def _finish(self, e, c, reg_row, epoch, children, origin, freshness, stored,
+                doc_write: tuple[str, dict] | None) -> tuple[str, str]:
+        """Apply the shouldProcess / shouldTraverse fork
+        (crawler.js:481-499): process → store doc + expand; no-process →
+        traverse (expand only) when the type has next steps, else
+        markSkip('Excluded')."""
+        rtype = e["type"]
+        cur_version = self.processor_versions.get(rtype, 1)
+        if self._should_process(freshness, origin, stored, cur_version, epoch):
+            if doc_write is not None:
+                doc_id, doc = doc_write
+                self.res.documents[doc_id] = doc
+            self._expand_children(e, c, reg_row, epoch, children)
+            return "Processed", origin
+        if rtype in TRAVERSABLE_TYPES:
+            self._expand_children(e, c, reg_row, epoch, children)
+            return "Traversed", origin
+        return "Excluded", origin
+
     def _process_one(self, e: dict, epoch: int, pop_index: int,
                      children: list[dict], requeues: list[dict]) -> tuple[str, str]:
         c = e["coord"]
         rtype = e["type"]
-        reg_row = None
-        origin = "origin"
-        policy_root = (e.get("policy") or "default").split(":")[0]
+        family, freshness = self._policy_of(e)
+        cur_version = self.processor_versions.get(rtype, 1)
+        storage_allowed = family != "originOnly"
+        storage_rules = family in ("storageOnly", "storageOriginIfMissing")
+        storage_only = family == "storageOnly"
+        ttl = self.fetch_cache_ttl
+
         if rtype in FETCHABLE_TYPES:
             rows = self.registry.get((c["provider"], c["namespace"], c["name"]))
-            # fetch policy (traversalPolicy.js:4-11, 124-171):
-            #   default family  → storage-first, origin on miss (mutables)
-            #   reprocess family→ storageOnly: storage miss ⇒ markSkip
-            #   always/reharvest→ originOnly: ignore storage, fetch origin
-            storage_allowed = not policy_root.startswith(("always", "reharvest"))
-            storage_only = policy_root.startswith("reprocess")
-            if (storage_allowed and c["revision"]
-                    and c["canonical_url"] in self._docs_at_epoch_start):
-                origin = "storage"
-                reg_row = next((r for r in (rows or []) if r["version"] == c["revision"]), None)
-                self._expand_children(e, c, reg_row, epoch, children)
-                return "Processed", origin
+            reg_exact = next((r for r in (rows or []) if r["version"] == c["revision"]), None) \
+                if c["revision"] else None
+            reg_etag = reg_exact.get("etag") if reg_exact else None
+            stored = self._docs_at_epoch_start.get(c["canonical_url"]) if c["revision"] else None
+
+            if stored is not None and storage_allowed:
+                # storage-first (dispatcher.js:29-43) refined by the F1
+                # remainder: under origin-consulting families (mutables/
+                # originStorage) a stored doc is served only while the 8h
+                # fetched-cache window holds (cdConfig.js:22) OR its etag
+                # still matches origin (304 revalidation, crawler.js:
+                # 426-433); a stale doc with a changed origin etag falls
+                # through to a full origin fetch. storage-rules families
+                # serve the stored doc unconditionally.
+                cache_fresh = stored["fetched_at"] + ttl > epoch
+                etag_ok = reg_etag is None or stored.get("etag") == reg_etag
+                if storage_rules or cache_fresh or etag_ok:
+                    return self._finish(e, c, reg_exact, epoch, children, "storage",
+                                        freshness, stored,
+                                        (c["canonical_url"], {
+                                            "spans": stored["spans"], "etag": stored.get("etag"),
+                                            "fetched_at": stored["fetched_at"],
+                                            "processed_at": epoch, "version": cur_version,
+                                        }))
+            if stored is not None and family == "originOnly" and stored["fetched_at"] + ttl > epoch:
+                # dispatcher fetched-cache hit (dispatcher.js:77-88): the
+                # cached *origin* result replays — no fate checks, content
+                # from the cached copy, freshness sees an origin fetch
+                return self._finish(e, c, reg_exact, epoch, children, "cache",
+                                    freshness, None,
+                                    (c["canonical_url"], {
+                                        "spans": stored["spans"], "etag": stored.get("etag"),
+                                        "fetched_at": stored["fetched_at"],
+                                        "processed_at": epoch, "version": cur_version,
+                                    }))
             if storage_only:
-                return "Skipped", origin  # storageOnly miss → markSkip (dispatcher shouldFetchMissing=false)
+                return "Skipped", "origin"  # storageOnly miss → markSkip (dispatcher shouldFetchMissing=null)
             if not rows:
-                return "Skipped", origin  # markSkip 'Missing' (baseHandler.js:103-105)
+                return "Skipped", "origin"  # markSkip 'Missing' (baseHandler.js:103-105)
             if rows[0]["status"] == 404:
-                return "Skipped", origin
+                return "Skipped", "origin"
             if e["attempt_count"] < rows[0]["fail_attempts"]:
                 # 429 throttle → requeue w/ backoff or deadletter (goFetch.js:68-75,
                 # crawler.js:330-342)
@@ -335,14 +456,14 @@ class CrawlSimulator:
                 if new_attempt > MAX_REQUEUE_ATTEMPTS:
                     self.res.deadletters.append(dict(url=e["url"], type=rtype, epoch=epoch,
                                                      reason="Throttled", attempts=new_attempt))
-                    return "Deadletter", origin
+                    return "Deadletter", "origin"
                 r = dict(e)
                 r["attempt_count"] = new_attempt
                 r["scope"] = "global"  # repush lands global (scopedQueueSets.js:62-76)
                 r["not_before_epoch"] = epoch + 1 + new_attempt * REQUEUE_DELAY_EPOCHS
                 r["parent_epoch"] = e["parent_epoch"]
                 requeues.append(r)
-                return "Requeued", origin
+                return "Requeued", "origin"
             # resolve revision: absent → latest non-prerelease (baseHandler.js:83-96)
             if not c["revision"]:
                 latest = latest_version_py([r["version"] for r in rows])
@@ -350,17 +471,40 @@ class CrawlSimulator:
                 c["canonical_url"] = coord_url(c)
             reg_row = next((r for r in rows if r["version"] == c["revision"]), None)
             if reg_row is None:
-                return "Skipped", origin
-            self.res.documents[c["canonical_url"]] = reg_row["payload_spans"]
-        elif rtype in TERMINAL_TYPES:
-            # tool task: storage-first fetch of already-landed content, run tool,
-            # store under the tool URN (abstractProcessor.js:224-227)
-            self.res.documents[coord_urn(c, tool=rtype)] = tool_output_span(rtype, e["url"])
-            self._expand_children(e, c, reg_row, epoch, children)
-            return "Processed", origin
+                return "Skipped", "origin"
+            return self._finish(e, c, reg_row, epoch, children, "origin", freshness, None,
+                                (c["canonical_url"], {
+                                    "spans": reg_row["payload_spans"], "etag": reg_row.get("etag"),
+                                    "fetched_at": epoch, "processed_at": epoch,
+                                    "version": cur_version,
+                                }))
 
-        self._expand_children(e, c, reg_row, epoch, children)
-        return "Processed", origin
+        if rtype in TERMINAL_TYPES:
+            # tool task: fetch the subject content (storage-first; within
+            # the 8h window the dispatcher's fetched-cache serves the
+            # just-fetched package, keyed on the subject's url path —
+            # dispatcher.js:77-80), run the tool, store under the tool URN
+            # (abstractProcessor.js:224-227). Tool-doc revisits follow the
+            # same family/freshness algebra keyed on the stored tool doc.
+            urn = coord_urn(c, tool=rtype)
+            stored_tool = self._docs_at_epoch_start.get(urn)
+            if stored_tool is not None and storage_allowed:
+                origin, stored = "storage", stored_tool
+            else:
+                subject = self._docs_at_epoch_start.get(c["canonical_url"])
+                fresh_subject = subject is not None and subject["fetched_at"] + ttl > epoch
+                origin, stored = ("cache" if fresh_subject else "origin"), None
+            return self._finish(e, c, None, epoch, children, origin, freshness, stored,
+                                (urn, {
+                                    "spans": tool_output_span(rtype, e["url"]), "etag": None,
+                                    "fetched_at": epoch, "processed_at": epoch,
+                                    "version": cur_version,
+                                }))
+
+        # structural types (component/package/source): no stored doc of
+        # their own in this model — every freshness gate passes (a fresh
+        # traversal doc has no prior metadata), no doc write
+        return self._finish(e, c, None, epoch, children, "origin", freshness, None, None)
 
     def _expand_children(self, e: dict, c: dict, reg_row, epoch: int, children: list[dict]):
         """Visitor-map expansion (component/package/source routing + tool

@@ -62,8 +62,31 @@ def main() -> int:
         print("  extra in spark:", list(extra)[:5], "missing:", list(missing)[:5])
         both = {k for k in seen_spark if k in sres.seen and seen_spark[k] != sres.seen[k]}
         print("  epoch diff:", [(k, seen_spark[k], sres.seen[k]) for k in list(both)[:5]])
-    docs_spark = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in store.read("documents").collect()}
+    # documents is an append log — the newest epoch's row is the doc's
+    # current state (matches the engine's max_by read); compare spans AND
+    # the _metadata stamps (etag / fetchedAt / processedAt / version)
+    latest: dict = {}
+    for r in store.read("documents").collect():
+        if r["doc_id"] not in latest or r["epoch"] > latest[r["doc_id"]]["epoch"]:
+            latest[r["doc_id"]] = r
+    docs_spark = {
+        k: {
+            "spans": [s.asDict() for s in r["spans"]],
+            "etag": r["etag"],
+            "fetched_at": r["fetched_at_epoch"],
+            "processed_at": r["processed_at_epoch"],
+            "version": r["version"],
+        }
+        for k, r in latest.items()
+    }
     print("docs match:", docs_spark == sres.documents, len(docs_spark), len(sres.documents))
+    if docs_spark != sres.documents:
+        for k in list(set(docs_spark) ^ set(sres.documents))[:5]:
+            print("  only-one-side doc:", k)
+        for k in docs_spark:
+            if k in sres.documents and docs_spark[k] != sres.documents[k]:
+                print("  diff doc:", k, "\n   SPK:", docs_spark[k], "\n   SIM:", sres.documents[k])
+                break
     ok = (
         mismatch == 0 and len(simlog) == len(log)
         and seen_spark == sres.seen and docs_spark == sres.documents

@@ -78,17 +78,32 @@ def test_seen_set_exact_match(sim_result, spark_run):
 
 
 def test_document_span_sequence_invariant(sim_result, spark_run):
-    # per-row invariant: span-sequence equality (kind, text, media_ref, order)
+    # per-row invariant: span-sequence equality (kind, text, media_ref,
+    # order) on the latest store row per doc, plus exact _metadata parity
+    # (etag / fetchedAt / processedAt / version — crawler.js:423-443)
     store, _ = spark_run
+    latest = {}
+    for r in store.read("documents").collect():
+        if r["doc_id"] not in latest or r["epoch"] > latest[r["doc_id"]]["epoch"]:
+            latest[r["doc_id"]] = r
     spark_docs = {
-        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
-        for r in store.read("documents").collect()
+        k: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for k, r in latest.items()
     }
     sim_docs = {
-        k: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in v]
+        k: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in v["spans"]]
         for k, v in sim_result.documents.items()
     }
     assert spark_docs == sim_docs
+    spark_meta = {
+        k: (r["etag"], r["fetched_at_epoch"], r["processed_at_epoch"], r["version"])
+        for k, r in latest.items()
+    }
+    sim_meta = {
+        k: (v["etag"], v["fetched_at"], v["processed_at"], v["version"])
+        for k, v in sim_result.documents.items()
+    }
+    assert spark_meta == sim_meta
     for spans in spark_docs.values():
         assert [s[3] for s in spans] == list(range(len(spans)))  # offsets dense
 

@@ -120,7 +120,10 @@ def test_schedule_log_parity(runs):
 def test_every_outcome_path_exercised(runs):
     sres, _ = runs
     outcomes = {r["outcome"] for r in sres.schedule_log}
-    assert outcomes == {"Processed", "Skipped", "Requeued", "Deadletter", "RobotsExcluded"}
+    assert outcomes == {
+        "Processed", "Traversed", "Excluded", "Skipped", "Requeued",
+        "Deadletter", "RobotsExcluded",
+    }
     assert sum(m["attenuated"] for m in sres.metrics) >= 1  # dup seed coalesced
     assert sum(m["seen_filtered"] for m in sres.metrics) >= 1  # shared source URL
 
@@ -172,44 +175,57 @@ def test_seen_set_parity(runs):
 
 
 def test_storage_first_reprocess(runs):
-    """The reprocess seed is served from the store: origin='storage',
-    Processed without consulting fetch fates, and its subtree re-expands
-    (reprocess children bypass the seen filter) — matching the reference
-    dispatcher storage-first + reprocess traversal semantics."""
+    """The reprocess seed is served from the store (origin='storage', no
+    fetch fates). Its freshness is 'version' (traversalPolicy.js:152-154)
+    and the stored doc was processed at the CURRENT processor version, so
+    shouldProcess=false → the doc is not re-landed but the subtree IS
+    traversed (processMode='traverse', crawler.js:495-497), and the
+    reprocess children bypass the seen filter; the tool tasks then find
+    their own stored docs at the current version → Excluded. (The
+    version-bump path that turns these into Processed is covered in
+    test_freshness.py.)"""
     sres, store = runs
     log = store.read("schedule_log").collect()
     storage_rows = [r for r in log if r["origin"] == "storage"]
     assert storage_rows, "no storage-first hits scheduled"
     hit = [r for r in storage_rows if r["url"] == "cd:/npm/npmjs/-/multi-d/1.1.0" and r["type"] == "npm"]
-    assert len(hit) == 1 and hit[0]["outcome"] == "Processed"
+    assert len(hit) == 1 and hit[0]["outcome"] == "Traversed"
     assert hit[0]["epoch"] >= 4  # not_before honored
-    # the re-crawled subtree runs its tool tasks again (reprocess cascade)
+    # the traversed subtree re-schedules its tool tasks (reprocess cascade)
     reprocessed_tools = [
         r for r in log
         if r["type"] in ("licensee", "scancode", "reuse")
         and r["url"] == "cd:/npm/npmjs/-/multi-d/1.1.0" and r["epoch"] > hit[0]["epoch"]
     ]
     assert len(reprocessed_tools) == 3
+    assert all(r["outcome"] == "Excluded" for r in reprocessed_tools)
     # sim agrees exactly (origin included in the full-log parity test)
     sim_storage = [r for r in sres.schedule_log if r["origin"] == "storage"]
     assert len(sim_storage) == len(storage_rows)
 
 
 def test_fetch_policy_matrix(runs):
-    """traversalPolicy fetch families: 'always' is originOnly (re-fetches
-    from origin despite a stored doc); 'reprocess' is storageOnly (a
-    storage miss is markSkip, never an origin fetch)."""
+    """traversalPolicy fetch families: 'always' is originOnly — it ignores
+    storage, but the dispatcher's 8h fetched-result cache still serves the
+    recent origin fetch (dispatcher.js:77-88, cdConfig.js:22) →
+    origin='cache', processed with no fate checks; 'reprocess' is
+    storageOnly (a storage miss is markSkip, never an origin fetch)."""
     sres, store = runs
     log = store.read("schedule_log").collect()
     always_rows = [r for r in log if r["url"] == "cd:/npm/npmjs/-/plain-e/0.1.0"
                    and r["type"] == "npm" and r["epoch"] >= 4]
     assert always_rows and all(
-        (r["outcome"], r["origin"]) == ("Processed", "origin") for r in always_rows
+        (r["outcome"], r["origin"]) == ("Processed", "cache") for r in always_rows
     )
     miss_rows = [r for r in log if r["url"] == "cd:/npm/npmjs/-/multi-d/1.0.0" and r["type"] == "npm"]
     assert miss_rows and all(
         (r["outcome"], r["origin"]) == ("Skipped", "origin") for r in miss_rows
     )
+    # first-run tool tasks fetch their subject through the same cache (the
+    # package fetch 1-2 epochs earlier shares the cacheKey)
+    tool_first = [r for r in log if r["type"] in ("licensee", "scancode", "reuse")
+                  and r["outcome"] == "Processed"]
+    assert tool_first and any(r["origin"] == "cache" for r in tool_first)
 
 
 def test_bloom_accelerated_engine_identical(spark, runs, tmp_path_factory):
@@ -251,6 +267,9 @@ def test_per_host_lineage_metrics(runs):
     for r in hm.collect():
         got_sched[r["epoch"]] += r["scheduled"]
         got_storage += r["storage_hits"]
-        assert r["scheduled"] == r["processed"] + r["skipped"] + r["requeued"] + r["deadlettered"]
+        assert r["scheduled"] == (
+            r["processed"] + r["traversed"] + r["excluded"]
+            + r["skipped"] + r["requeued"] + r["deadlettered"]
+        )
     assert got_sched == expect_sched
     assert got_storage == sum(1 for r in log if r["origin"] == "storage")
