@@ -327,6 +327,45 @@ def q_fifo_topk(spark, sf_dir):
     return ev.orderBy("ts", "event_id").limit(100).select("event_id", "user_id", "event_type")
 
 
+def _discovery_inputs(spark, sf_dir):
+    """Synthetic discovery fixture from part: ordered candidate URLs (a
+    miss-or-non-github first, a real repo second) + a tags dim whose tag
+    form alternates between 'v{v}' and '{v}^{{}}' patterns."""
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    version = F.concat_ws(
+        ".", (F.col("p_size") % 9).cast("string"), (pk % 20).cast("string"), (pk % 7).cast("string")
+    )
+    owner = F.concat(F.lit("org"), (pk % 5).cast("string"))
+    rname = F.concat(F.lit("repo-"), (pk % 97).cast("string"))
+    cand1 = F.when(pk % 4 == 0, F.lit("https://gitlab.com/org/elsewhere")).otherwise(
+        F.concat(F.lit("https://github.com/"), owner, F.lit("/missing-"), pk.cast("string"))
+    )
+    cand2 = F.concat(F.lit("git@github.com:"), owner, F.lit("/"), rname, F.lit(".git"))
+    requests = p.select(
+        pk.alias("request_id"), version.alias("version"),
+        F.array(cand1, cand2).alias("candidate_urls"),
+    )
+    tag = F.when(pk % 2 == 0, F.concat(F.lit("v"), version)).otherwise(
+        F.concat(version, F.lit("^{}"))
+    )
+    tags = p.filter(pk % 3 != 1).select(
+        owner.alias("owner"), rname.alias("name"), tag.alias("tag"),
+        F.md5(F.concat(owner, rname, tag)).alias("sha"),
+    )
+    return requests, tags
+
+
+def q_source_discovery(spark, sf_dir):
+    """P22 sourceDiscovery: candidate-URL parse/uniq + 8-pattern tag match
+    (lib/sourceDiscovery.js:23-37,107-128) as explode → hash join on
+    (owner,name) → priority min_by."""
+    from crawler_spark.operators.discovery import discover_sources
+
+    requests, tags = _discovery_inputs(spark, sf_dir)
+    return discover_sources(requests, tags)
+
+
 def q_du_summary(spark, sf_dir):
     """P16 _addSummaryInfo: du count+size per subtree (here: per source)."""
     d = _t(spark, sf_dir, "documents")
@@ -335,6 +374,131 @@ def q_du_summary(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-provider fetch-protocol algebra (F2-F15 fidelity layer)
+# ---------------------------------------------------------------------------
+
+
+def q_packagist_manifest(spark, sf_dir):
+    """Packagist '__unset' delta-decode (packagistFetch.js:64-91): the
+    version-walk fold re-expressed as arg-max over idx ≤ target, with
+    '__unset' winners deleted. Covers override (license), last-write
+    (homepage) and delete-vs-survive (extra, written only at idx 1)."""
+    from crawler_spark.functions.providers import packagist_effective_manifest
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    base = p.select(
+        F.concat(F.lit("pkg"), (pk % 40).cast("string")).alias("package"),
+        (pk / 40).cast("int").alias("idx"),
+        pk.alias("_pk"),
+    ).withColumn("version", F.concat(F.lit("1."), F.col("idx").cast("string"), F.lit(".0")))
+    kv = F.filter(
+        F.array(
+            F.struct(F.lit("license").alias("key"),
+                     F.concat(F.lit("L-"), F.col("idx").cast("string")).alias("value")),
+            F.struct(F.lit("homepage").alias("key"),
+                     F.concat(F.lit("H-"), (F.col("_pk") % 7).cast("string")).alias("value")),
+            F.when(
+                F.col("idx") == 1,
+                F.struct(
+                    F.lit("extra").alias("key"),
+                    F.when(F.col("_pk") % 2 == 0, F.lit("__unset"))
+                    .otherwise(F.concat(F.lit("E-"), (F.col("_pk") % 5).cast("string")))
+                    .alias("value"),
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    deltas = base.select(
+        "package", "idx", "version", F.explode(kv).alias("kv")
+    ).select("package", "idx", "version", F.col("kv.key").alias("key"), F.col("kv.value").alias("value"))
+    return packagist_effective_manifest(deltas, "1.2.0")
+
+
+def q_go_latest(spark, sf_dir):
+    """golang @v/list resolution: LEXICAL sort, take last (goFetch.js:91)
+    — deliberately not semver ('1.9.x' beats '1.19.x')."""
+    from crawler_spark.functions.providers import go_latest_agg
+
+    p = _t(spark, sf_dir, "part")
+    version = F.concat(
+        F.lit("v1."), (F.col("p_partkey") % 20).cast("string"),
+        F.lit("."), (F.col("p_size") % 9).cast("string"),
+    )
+    return (
+        p.select(F.col("p_brand").alias("brand"), version.alias("version"))
+        .groupBy("brand")
+        .agg(go_latest_agg(F.col("version")).alias("latest"))
+    )
+
+
+def q_pod_shard(spark, sf_dir):
+    """CocoaPods CDN md5-prefix shard path (podFetch.js:160-181)."""
+    from crawler_spark.functions.providers import pod_path_fragment
+
+    p = _t(spark, sf_dir, "part")
+    name = F.concat(F.lit("Pod"), F.col("p_partkey").cast("string"))
+    rev = F.concat(F.lit("1."), (F.col("p_size") % 10).cast("string"), F.lit(".0"))
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        pod_path_fragment(name, rev).alias("path_fragment"),
+    )
+
+
+def q_conda_match(spark, sf_dir):
+    """conda repodata match: name + optional exact version + optional
+    build-prefix, newest timestamp wins (condaFetch.js:85-114)."""
+    from crawler_spark.functions.providers import conda_match_packages
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    name = F.concat(F.lit("c"), (pk % 30).cast("string"))
+    version = F.concat(F.lit("1."), (pk % 4).cast("string"), F.lit(".0"))
+    build = F.concat(F.lit("py3"), (pk % 6).cast("string"), F.lit("_"), (pk % 3).cast("string"))
+    repodata = p.select(
+        name.alias("name"), version.alias("version"), build.alias("build"),
+        pk.alias("timestamp"),
+        F.concat(name, F.lit("-"), version, F.lit("-"), build, F.lit(".conda")).alias("package_file"),
+    )
+    specs = p.filter(pk <= 60).select(
+        pk.alias("spec_id"),
+        name.alias("name"),
+        F.when(pk % 2 == 1, version).alias("version"),
+        F.when(pk % 3 == 0, F.concat(F.lit("py3"), (pk % 6).cast("string"))).alias("build_prefix"),
+    )
+    return conda_match_packages(specs, repodata)
+
+
+def q_debian_licenses(spark, sf_dir):
+    """debian/copyright License-line parse with the reference's or/and
+    set splitting, CPL and Expat rewrites (debianFetch.js:346-385). The
+    oracle states the expected output per case independently (not a
+    mirrored implementation)."""
+    from crawler_spark.functions.providers import debian_declared_licenses
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    line1 = (
+        F.when(pk % 6 == 0, "MIT")
+        .when(pk % 6 == 1, "GPL-2.0 or Artistic")
+        .when(pk % 6 == 2, "GPL-2.0 or Artistic, and BSD-3")
+        .when(pk % 6 == 3, "Apache-2.0 and CPL")
+        .when(pk % 6 == 4, "Expat")
+        .otherwise("RSCPL")
+    )
+    text = F.concat(
+        F.lit("Format: https://www.debian.org/doc/packaging-manuals/copyright-format/1.0/\n"),
+        F.lit("License: "), line1, F.lit("\n"),
+        F.lit("Comment: synthetic\n"),
+        F.lit("License: BSD-2\n"),
+        F.lit(" license body text\n"),
+    )
+    docs = p.select(pk.alias("doc"), text.alias("copyright"))
+    return debian_declared_licenses(docs, "doc", "copyright").withColumnRenamed("id", "doc")
 
 
 # ---------------------------------------------------------------------------
@@ -508,11 +672,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fetch_join": q_fetch_join,
         "q_semver_latest": q_semver_latest,
         "q_nuget_normalize": q_nuget_normalize,
+        "q_packagist_manifest": q_packagist_manifest,
+        "q_go_latest": q_go_latest,
+        "q_pod_shard": q_pod_shard,
+        "q_conda_match": q_conda_match,
+        "q_debian_licenses": q_debian_licenses,
         "q_coord_parse": q_coord_parse,
         "q_urn_render": q_urn_render,
         "q_content_hashes": q_content_hashes,
         "q_politeness_gate": q_politeness_gate,
         "q_fifo_topk": q_fifo_topk,
+        "q_source_discovery": q_source_discovery,
         "q_du_summary": q_du_summary,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -644,6 +814,86 @@ def oracle_sql() -> dict[str, str]:
                    AS normalized
             FROM v
         """,
+        "q_packagist_manifest": """
+            WITH base AS (
+              SELECT 'pkg' || CAST(p_partkey % 40 AS VARCHAR) AS package,
+                     CAST(p_partkey // 40 AS INT) AS idx,
+                     '1.' || CAST(p_partkey // 40 AS VARCHAR) || '.0' AS version,
+                     p_partkey AS pk
+              FROM part),
+            deltas AS (
+              SELECT package, idx, version, s.key AS key, s.value AS value
+              FROM base, unnest(list_filter([
+                struct_pack(key := 'license', value := 'L-' || CAST(idx AS VARCHAR)),
+                struct_pack(key := 'homepage', value := 'H-' || CAST(pk % 7 AS VARCHAR)),
+                CASE WHEN idx = 1 THEN struct_pack(key := 'extra',
+                     value := CASE WHEN pk % 2 = 0 THEN '__unset'
+                                   ELSE 'E-' || CAST(pk % 5 AS VARCHAR) END)
+                END], x -> x IS NOT NULL)) AS t(s)),
+            target AS (
+              SELECT package, min(idx) AS target_idx FROM deltas
+              WHERE version = '1.2.0' OR version = 'v1.2.0' GROUP BY package),
+            eff AS (
+              SELECT d.package, d.key, arg_max(d.value, d.idx) AS value
+              FROM deltas d JOIN target t ON d.package = t.package AND d.idx <= t.target_idx
+              GROUP BY d.package, d.key)
+            SELECT package, key, value FROM eff WHERE value <> '__unset'
+        """,
+        "q_go_latest": """
+            SELECT p_brand AS brand,
+                   max('v1.' || CAST(p_partkey % 20 AS VARCHAR) || '.' || CAST(p_size % 9 AS VARCHAR)) AS latest
+            FROM part GROUP BY p_brand
+        """,
+        "q_pod_shard": """
+            WITH n AS (SELECT p_partkey AS partkey, 'Pod' || CAST(p_partkey AS VARCHAR) AS name,
+                              '1.' || CAST(p_size % 10 AS VARCHAR) || '.0' AS rev FROM part)
+            SELECT partkey,
+                   substr(md5(name), 1, 1) || '/' || substr(md5(name), 2, 1) || '/'
+                   || substr(md5(name), 3, 1) || '/' || name || '/' || rev AS path_fragment
+            FROM n
+        """,
+        "q_conda_match": """
+            WITH repodata AS (
+              SELECT 'c' || CAST(p_partkey % 30 AS VARCHAR) AS name,
+                     '1.' || CAST(p_partkey % 4 AS VARCHAR) || '.0' AS version,
+                     'py3' || CAST(p_partkey % 6 AS VARCHAR) || '_' || CAST(p_partkey % 3 AS VARCHAR) AS build,
+                     p_partkey AS timestamp
+              FROM part),
+            specs AS (
+              SELECT p_partkey AS spec_id,
+                     'c' || CAST(p_partkey % 30 AS VARCHAR) AS name,
+                     CASE WHEN p_partkey % 2 = 1
+                          THEN '1.' || CAST(p_partkey % 4 AS VARCHAR) || '.0' END AS want_version,
+                     CASE WHEN p_partkey % 3 = 0
+                          THEN 'py3' || CAST(p_partkey % 6 AS VARCHAR) END AS want_build
+              FROM part WHERE p_partkey <= 60),
+            j AS (
+              SELECT s.spec_id, r.version, r.build, r.timestamp,
+                     r.name || '-' || r.version || '-' || r.build || '.conda' AS package_file
+              FROM specs s JOIN repodata r ON s.name = r.name
+              WHERE (s.want_version IS NULL OR s.want_version = r.version)
+                AND (s.want_build IS NULL OR starts_with(r.build, s.want_build)))
+            SELECT spec_id,
+                   arg_max(package_file, timestamp) AS package_file,
+                   arg_max(version || '-' || build, timestamp) AS resolved_revision
+            FROM j GROUP BY spec_id
+        """,
+        # independent expected-value oracle (not a mirrored string-surgery
+        # implementation): the parse semantics per fixture case are stated
+        # directly, per debianFetch.js:346-385
+        "q_debian_licenses": """
+            WITH expect AS (
+              SELECT p_partkey AS doc,
+                     CASE p_partkey % 6
+                       WHEN 0 THEN ['MIT', 'BSD-2']
+                       WHEN 1 THEN ['(GPL-2.0 OR Artistic)', 'BSD-2']
+                       WHEN 2 THEN ['(GPL-2.0 OR Artistic)', 'BSD-3', 'BSD-2']
+                       WHEN 3 THEN ['Apache-2.0', 'CPL-1.0', 'BSD-2']
+                       WHEN 4 THEN ['MIT', 'BSD-2']
+                       ELSE ['RSCPL', 'BSD-2'] END AS lics
+              FROM part)
+            SELECT DISTINCT doc, unnest(lics) AS license FROM expect
+        """,
         "q_coord_parse": """
             WITH u AS (
               SELECT 'cd:/NPM/NPMJS/' ||
@@ -687,6 +937,58 @@ def oracle_sql() -> dict[str, str]:
         "q_du_summary": """
             SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY source
+        """,
+        "q_source_discovery": """
+            WITH req AS (
+              SELECT p_partkey AS request_id,
+                     CAST(p_size % 9 AS VARCHAR) || '.' || CAST(p_partkey % 20 AS VARCHAR)
+                       || '.' || CAST(p_partkey % 7 AS VARCHAR) AS version,
+                     [CASE WHEN p_partkey % 4 = 0 THEN 'https://gitlab.com/org/elsewhere'
+                           ELSE 'https://github.com/org' || CAST(p_partkey % 5 AS VARCHAR)
+                                || '/missing-' || CAST(p_partkey AS VARCHAR) END,
+                      'git@github.com:org' || CAST(p_partkey % 5 AS VARCHAR)
+                        || '/repo-' || CAST(p_partkey % 97 AS VARCHAR) || '.git'] AS cands
+              FROM part),
+            tags AS (
+              SELECT 'org' || CAST(p_partkey % 5 AS VARCHAR) AS owner,
+                     'repo-' || CAST(p_partkey % 97 AS VARCHAR) AS name,
+                     CASE WHEN p_partkey % 2 = 0
+                          THEN 'v' || CAST(p_size % 9 AS VARCHAR) || '.' || CAST(p_partkey % 20 AS VARCHAR)
+                               || '.' || CAST(p_partkey % 7 AS VARCHAR)
+                          ELSE CAST(p_size % 9 AS VARCHAR) || '.' || CAST(p_partkey % 20 AS VARCHAR)
+                               || '.' || CAST(p_partkey % 7 AS VARCHAR) || '^{}' END AS tag
+              FROM part WHERE p_partkey % 3 <> 1),
+            tags2 AS (SELECT owner, name, tag, md5(owner || name || tag) AS sha FROM tags),
+            ex AS (
+              SELECT request_id, version,
+                     unnest(list_transform(cands, (c, i) -> struct_pack(u := c, i := i))) AS s
+              FROM req),
+            parsed AS (
+              SELECT request_id, version, s.i AS cand_idx,
+                     nullif(regexp_extract(s.u, 'github\\.com[:/]+([^/?#\\s]+)/', 1), '') AS owner,
+                     nullif(regexp_replace(
+                       nullif(regexp_extract(s.u, 'github\\.com[:/]+[^/?#\\s]+/([^/?#\\s]+)', 1), ''),
+                       '\\.git$', ''), '') AS name
+              FROM ex),
+            uniq AS (
+              SELECT request_id, owner, name, min(cand_idx) AS cand_idx, any_value(version) AS version
+              FROM parsed WHERE owner IS NOT NULL AND name IS NOT NULL
+              GROUP BY request_id, owner, name),
+            pat AS (
+              SELECT *, [version || '^{}', 'v' || version || '^{}', version, 'v' || version,
+                         'rel/v' || version, 'v.' || version, version || '.0', 'v' || version || '.0']
+                        AS patterns
+              FROM uniq),
+            matched AS (
+              SELECT request_id, cand_idx, list_position(patterns, tag) AS pattern_idx,
+                     owner, name, sha
+              FROM pat JOIN tags2 USING (owner, name)
+              WHERE list_position(patterns, tag) > 0)
+            SELECT request_id,
+                   arg_min(owner, cand_idx * 100 + pattern_idx) AS owner,
+                   arg_min(name, cand_idx * 100 + pattern_idx) AS name,
+                   arg_min(sha, cand_idx * 100 + pattern_idx) AS sha
+            FROM matched GROUP BY request_id
         """,
         "q_dedup_fingerprint": f"""
             WITH fp AS (SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents)

@@ -1,0 +1,222 @@
+"""Per-provider fetch-protocol algebra (F2–F15 fidelity layer).
+
+Each function re-expresses one provider-specific decode/match rule from
+/root/reference/providers/fetch/*.js as JVM-side column expressions or a
+small relational plan — no Python in any hot path, everything
+DuckDB-mirrorable for the oracle harness.
+
+* packagist `__unset` delta-decode — packagistFetch.js:64-91
+* golang lexical-last version      — goFetch.js:86-95
+* cocoapods md5-prefix shard path  — podFetch.js:160-181
+* conda (name, version, build-prefix) match — condaFetch.js:85-114
+* debian copyright License-line parse       — debianFetch.js:346-385
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# packagist: versioned-manifest delta fold (packagistFetch.js:64-91)
+# ---------------------------------------------------------------------------
+
+
+def packagist_effective_manifest(
+    deltas: DataFrame,
+    target_version: str,
+    package_col: str = "package",
+    idx_col: str = "idx",
+    version_col: str = "version",
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Effective manifest per package at `target_version`.
+
+    The reference walks version objects 0..targetIndex, spreading each
+    into an accumulator and DELETING keys whose value is the literal
+    '__unset' (packagistFetch.js:80-89). Because only the LAST write of a
+    key ≤ target survives that fold, the fold is exactly a relational
+    arg-max: effective[key] = max_by(value, idx) over idx ≤ target_idx,
+    dropped when that winning value is '__unset'. Packages whose version
+    list lacks the target (both '{v}' and 'v{v}' forms tried,
+    packagistFetch.js:70-75) produce no rows (targetIndex === -1 → null).
+
+    One shuffle keyed (package, key) with map-side partial max_by.
+    """
+    pk, idx, ver = F.col(package_col), F.col(idx_col), F.col(version_col)
+    target_idx = (
+        deltas.filter((ver == target_version) | (ver == f"v{target_version}"))
+        .groupBy(package_col)
+        .agg(F.min(idx).alias("_target_idx"))
+    )
+    j = deltas.join(target_idx, package_col).filter(idx <= F.col("_target_idx"))
+    eff = (
+        j.groupBy(package_col, key_col)
+        .agg(F.max_by(F.col(value_col), idx).alias(value_col))
+        .filter(F.col(value_col) != "__unset")
+    )
+    return eff
+
+
+# ---------------------------------------------------------------------------
+# golang: lexical version sort, take last (goFetch.js:86-95)
+# ---------------------------------------------------------------------------
+
+
+def go_latest_agg(version: Column) -> Column:
+    """The proxy.golang.org @v/list resolution: plain string sort of the
+    newline list, last element — i.e. a lexical max, NOT semver
+    (goFetch.js:91 `versions.sort(); versions[versions.length-1]`)."""
+    return F.max(version)
+
+
+# ---------------------------------------------------------------------------
+# cocoapods: master-repo md5 shard path (podFetch.js:160-181)
+# ---------------------------------------------------------------------------
+
+
+def pod_path_fragment(
+    name: Column, revision: Column | None = None, prefix_lengths: tuple[int, ...] = (1, 1, 1)
+) -> Column:
+    """CocoaPods CDN path fragment: successive md5(name) hex prefixes of
+    the configured lengths, then the name, then the revision —
+    '/'-joined (the rubydoc path_fragment port, podFetch.js:161-180)."""
+    h = F.md5(name)
+    parts: list[Column] = []
+    off = 1
+    for ln in prefix_lengths:
+        parts.append(F.substring(h, off, ln))
+        off += ln
+    parts.append(name)
+    if revision is not None:
+        parts.append(revision)
+    return F.concat_ws("/", *parts)
+
+
+# ---------------------------------------------------------------------------
+# conda: repodata package match (condaFetch.js:85-114)
+# ---------------------------------------------------------------------------
+
+
+def conda_match_packages(
+    specs: DataFrame,
+    repodata: DataFrame,
+    spec_id_col: str = "spec_id",
+) -> DataFrame:
+    """Vectorized _matchPackage: for each spec row (spec_id, name,
+    version?, build_prefix?) pick the repodata row (name, version, build,
+    timestamp, package_file) where name matches, version matches when
+    given, build startswith build_prefix when given — newest timestamp
+    first (condaFetch.js:112 sort). Returns (spec_id, package_file,
+    resolved_revision='{version}-{build}').
+
+    Hash join on name (uniform); one max_by per spec."""
+    s = specs.select(
+        F.col(spec_id_col),
+        F.col("name"),
+        F.col("version").alias("_want_version"),
+        F.col("build_prefix").alias("_want_build"),
+    )
+    j = s.join(repodata, "name").filter(
+        (F.col("_want_version").isNull() | (F.col("_want_version") == F.col("version")))
+        & (F.col("_want_build").isNull() | F.col("build").startswith(F.col("_want_build")))
+    )
+    return (
+        j.groupBy(spec_id_col)
+        .agg(
+            F.max_by(
+                F.struct("package_file", "version", "build"), F.col("timestamp")
+            ).alias("_w")
+        )
+        .select(
+            F.col(spec_id_col),
+            F.col("_w.package_file").alias("package_file"),
+            F.concat(F.col("_w.version"), F.lit("-"), F.col("_w.build")).alias("resolved_revision"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# debian: copyright-file License-line parse (debianFetch.js:346-385)
+# ---------------------------------------------------------------------------
+
+
+def _replace_first(col: Column, find: str, repl: str) -> Column:
+    """JS String.replace(str, str) replaces only the FIRST occurrence;
+    Spark regexp_replace replaces all — splice manually via instr."""
+    pos = F.instr(col, F.lit(find))
+    return F.when(
+        pos > 0,
+        F.concat(
+            F.substring(col, F.lit(1), pos - 1),
+            F.lit(repl),
+            F.substring(col, pos + len(find), F.lit(2147483647)),
+        ),
+    ).otherwise(col)
+
+
+def debian_declared_licenses(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, license) rows from a debian/copyright body — the reference's
+    _parseDeclaredLicenses including its documented over-simplifications:
+
+    * only lines starting 'License: ' count (debianFetch.js:349-351)
+    * CPL→CPL-1.0 unless RSCPL; /expat/i→MIT (first occurrence, 353-361)
+    * 'A or B'            → '(A OR B)' (with ' and '→' AND ' inside)
+    * 'A or B, and C'     → '(A OR B)' + 'C'
+    * 'A and B'           → 'A' + 'B'
+    * results are a set (uniqued)
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: ln.startswith("License: ")
+    )
+    ids = F.transform(lines, lambda ln: F.trim(F.regexp_replace(ln, r"^License:", "")))
+
+    def normalize(lid: Column) -> Column:
+        cpl = F.when(
+            lid.contains("CPL") & ~lid.contains("RSCPL"), _replace_first(lid, "CPL", "CPL-1.0")
+        ).otherwise(lid)
+        # /expat/i first occurrence → MIT: lower() spans the whole id, so
+        # locate on the lowercased copy and splice the original
+        low = F.lower(cpl)
+        pos = F.instr(low, F.lit("expat"))
+        return F.when(
+            pos > 0,
+            F.concat(
+                F.substring(cpl, F.lit(1), pos - 1),
+                F.lit("MIT"),
+                F.substring(cpl, pos + 5, F.lit(2147483647)),
+            ),
+        ).otherwise(cpl)
+
+    def branch(lid: Column) -> Column:
+        has_or = lid.contains(" or ")
+        has_comma = lid.contains(",")
+        has_and = lid.contains(" and ")
+        simple_or = F.array(
+            F.concat(
+                F.lit("("),
+                _replace_first(_replace_first(lid, " or ", " OR "), " and ", " AND "),
+                F.lit(")"),
+            )
+        )
+        or_comma = F.transform(
+            F.split(_replace_first(lid, " or ", " OR "), " and "),
+            lambda part: F.when(
+                part.contains("OR") & part.endswith(","),
+                F.concat(F.lit("("), _replace_first(part, ",", ")")),
+            ).otherwise(part),
+        )
+        and_split = F.split(lid, " and ")
+        return (
+            F.when(has_or & ~has_comma, simple_or)
+            .when(has_or & has_comma, or_comma)
+            .when(has_and, and_split)
+            .otherwise(F.array(lid))
+        )
+
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.flatten(F.transform(ids, lambda ln: branch(normalize(ln))))).alias("license"),
+    )
+    return out.distinct()
