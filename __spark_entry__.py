@@ -501,6 +501,126 @@ def q_debian_licenses(spark, sf_dir):
     return debian_declared_licenses(docs, "doc", "copyright").withColumnRenamed("id", "doc")
 
 
+def q_maven_pom_merge(spark, sf_dir):
+    """Maven parent-POM chain walk + nearest-descendant-wins merge
+    (mavenBasedFetch.js:124-173) over a synthetic 4-long parent chain;
+    the oracle states the closed-form expected values independently."""
+    from crawler_spark.functions.providers import maven_merged_poms
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    is_root = pk % 4 == 0  # partkeys start at 0 in this testdata
+    poms = p.select(
+        F.lit("g").alias("group_id"),
+        F.concat(F.lit("a"), pk.cast("string")).alias("artifact_id"),
+        F.lit("1").alias("version"),
+        F.when(~is_root, F.lit("g")).alias("parent_group"),
+        F.when(~is_root, F.concat(F.lit("a"), (pk - 1).cast("string"))).alias("parent_artifact"),
+        F.when(~is_root, F.lit("1")).alias("parent_version"),
+        F.when(is_root, F.concat(F.lit("L"), pk.cast("string"))).alias("license"),
+        F.when(pk % 2 == 0, F.concat(F.lit("U"), pk.cast("string"))).alias("url"),
+        F.concat(F.lit("D"), pk.cast("string")).alias("description"),
+    )
+    return maven_merged_poms(poms, ["license", "url", "description"])
+
+
+def _top_ranked(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    rank = F.col("p_partkey") - 1  # partkeys are 1..N contiguous
+    return p.select(
+        rank.alias("rank"),
+        F.concat(F.lit("pkg"), rank.cast("string")).alias("name"),
+        F.concat(F.lit("2."), (F.col("p_size") % 5).cast("string"), F.lit(".0")).alias("version"),
+    )
+
+
+def q_top_paging(spark, sf_dir):
+    """top.js seed-expansion paging quirks (P21): npm aligns the first
+    offset down to a 36 multiple and every registry queues its last page
+    whole — the queued set exceeds [start, end)."""
+    from crawler_spark.data.top_seeds import top_seed_requests
+
+    ranked = _top_ranked(spark, sf_dir)
+    return (
+        top_seed_requests(ranked, "npm", 50, 130)
+        .unionByName(top_seed_requests(ranked, "crates", 150, 420))
+        .unionByName(top_seed_requests(ranked, "nuget", 10, 75))
+    )
+
+
+def _files_fixture(spark, sf_dir):
+    """Synthetic per-doc file tree from documents: a code file, a
+    rotating candidate for the interesting-name rules (two accepted
+    shapes, one extension-rejected, one accepted-with-extension), and a
+    git metadata file (excluded from the size walk)."""
+    d = _t(spark, sf_dir, "documents")
+    nc = F.col("n_chars")
+    candidate = (
+        F.when(nc % 4 == 0, "LICENSE")
+        .when(nc % 4 == 1, "docs/NOTICE.TXT")
+        .when(nc % 4 == 2, "LICENSE-APACHE-2.0")  # ext '.0' → rejected
+        .otherwise("COPYING.HTML")
+    )
+    files = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("src/mod_"), nc.cast("string"), F.lit(".py")).alias("path"),
+                    F.substring(F.col("text"), 1, 40).alias("content"),
+                ),
+                F.struct(candidate.alias("path"), F.substring(F.col("text"), 41, 40).alias("content")),
+                F.struct(F.lit(".git/config").alias("path"), F.lit("[core]").alias("content")),
+            )
+        ).alias("f"),
+    ).select("doc_id", F.col("f.path").alias("path"), F.col("f.content").alias("content"))
+    return files
+
+
+def q_file_summary(spark, sf_dir):
+    """P16 _computeSize: per-doc non-git file count + KiB."""
+    from crawler_spark.operators.files import file_summary
+
+    return file_summary(_files_fixture(spark, sf_dir))
+
+
+def q_interesting_files(spark, sf_dir):
+    """P16 interesting-file attach: LICENSE/NOTICE/… basename patterns
+    with the extension allow-list; token = sha256(content)
+    (abstractClearlyDefinedProcessor.js:56-79, abstractProcessor.js:97-113)."""
+    from crawler_spark.operators.files import interesting_attachments
+
+    return interesting_attachments(_files_fixture(spark, sf_dir))
+
+
+def q_licensee_merge(spark, sf_dir):
+    """P18 licensee uniqBy(spdx_id) — first folder's record wins
+    (licensee.js:64-66)."""
+    from crawler_spark.operators.files import licensee_merge
+
+    d = _t(spark, sf_dir, "documents")
+    nc = F.col("n_chars")
+    results = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("folder_idx"),
+                        F.concat(F.lit("SPDX-"), ((nc + i) % 3).cast("string")).alias("spdx_id"),
+                        F.concat(F.lit("folder"), F.lit(str(i)), F.lit("/LICENSE")).alias("matched_path"),
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("r"),
+    ).select(
+        "doc_id", F.col("r.folder_idx").alias("folder_idx"),
+        F.col("r.spdx_id").alias("spdx_id"), F.col("r.matched_path").alias("matched_path"),
+    )
+    return licensee_merge(results)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -677,6 +797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pod_shard": q_pod_shard,
         "q_conda_match": q_conda_match,
         "q_debian_licenses": q_debian_licenses,
+        "q_maven_pom_merge": q_maven_pom_merge,
+        "q_top_paging": q_top_paging,
+        "q_file_summary": q_file_summary,
+        "q_interesting_files": q_interesting_files,
+        "q_licensee_merge": q_licensee_merge,
         "q_coord_parse": q_coord_parse,
         "q_urn_render": q_urn_render,
         "q_content_hashes": q_content_hashes,
@@ -893,6 +1018,77 @@ def oracle_sql() -> dict[str, str]:
                        ELSE ['RSCPL', 'BSD-2'] END AS lics
               FROM part)
             SELECT DISTINCT doc, unnest(lics) AS license FROM expect
+        """,
+        # closed-form expected values (independent of the join-walk
+        # implementation): license lives only at chain roots (pk%4==0),
+        # url at even pks (odd pks inherit pk-1's), description own
+        "q_maven_pom_merge": """
+            SELECT 'g' AS group_id,
+                   'a' || CAST(p_partkey AS VARCHAR) AS artifact_id,
+                   '1' AS version,
+                   'L' || CAST(p_partkey - p_partkey % 4 AS VARCHAR) AS license,
+                   'U' || CAST(p_partkey - p_partkey % 2 AS VARCHAR) AS url,
+                   'D' || CAST(p_partkey AS VARCHAR) AS description
+            FROM part
+        """,
+        # page windows precomputed from the reference arithmetic:
+        # npm(50,130): initial 36, pages 36/72/108 → [36,144)
+        # crates(150,420): pages 150/250/350 → [150,450)
+        # nuget(10,75): pages 10/30/50/70 → [10,90)
+        "q_top_paging": """
+            WITH ranked AS (
+              SELECT p_partkey - 1 AS rank,
+                     'pkg' || CAST(p_partkey - 1 AS VARCHAR) AS name,
+                     '2.' || CAST(p_size % 5 AS VARCHAR) || '.0' AS version
+              FROM part)
+            SELECT rank, 36 + (rank - 36) // 36 * 36 AS page_offset, 'npm' AS kind,
+                   'cd:/npm/npmjs/-/' || name || '/' || version AS url
+            FROM ranked WHERE rank >= 36 AND rank < 144
+            UNION ALL
+            SELECT rank, 150 + (rank - 150) // 100 * 100, 'crates',
+                   'cd:/crate/cratesio/-/' || name || '/' || version
+            FROM ranked WHERE rank >= 150 AND rank < 450
+            UNION ALL
+            SELECT rank, 10 + (rank - 10) // 20 * 20, 'nuget',
+                   'cd:/nuget/nuget/-/' || name
+            FROM ranked WHERE rank >= 10 AND rank < 90
+        """,
+        "q_file_summary": """
+            WITH files AS (
+              SELECT doc_id, s.path AS path, s.content AS content
+              FROM documents, unnest([
+                struct_pack(path := 'src/mod_' || CAST(n_chars AS VARCHAR) || '.py',
+                            content := substr(text, 1, 40)),
+                struct_pack(path := CASE n_chars % 4
+                              WHEN 0 THEN 'LICENSE' WHEN 1 THEN 'docs/NOTICE.TXT'
+                              WHEN 2 THEN 'LICENSE-APACHE-2.0' ELSE 'COPYING.HTML' END,
+                            content := substr(text, 41, 40)),
+                struct_pack(path := '.git/config', content := '[core]')]) AS t(s))
+            SELECT doc_id, count(*) AS count,
+                   CAST(round(sum(octet_length(encode(content))) / 1024.0, 0) AS BIGINT) AS k
+            FROM files
+            WHERE NOT (starts_with(path, '.git/') OR contains(path, '/.git/') OR path = '.git')
+            GROUP BY doc_id
+        """,
+        # expected matches stated independently: LICENSE and
+        # docs/NOTICE.TXT and COPYING.HTML pass the basename+extension
+        # rules; LICENSE-APACHE-2.0 ('.0' extension) and the code/git
+        # files do not
+        "q_interesting_files": """
+            SELECT doc_id,
+                   CASE n_chars % 4 WHEN 0 THEN 'LICENSE' WHEN 1 THEN 'docs/NOTICE.TXT'
+                        ELSE 'COPYING.HTML' END AS path,
+                   sha256(substr(text, 41, 40)) AS token
+            FROM documents WHERE n_chars % 4 <> 2
+        """,
+        "q_licensee_merge": """
+            WITH results AS (
+              SELECT doc_id, i AS folder_idx,
+                     'SPDX-' || CAST((n_chars + i) % 3 AS VARCHAR) AS spdx_id,
+                     'folder' || CAST(i AS VARCHAR) || '/LICENSE' AS matched_path
+              FROM documents, unnest([0, 1, 2]) AS t(i))
+            SELECT doc_id, spdx_id, arg_min(matched_path, folder_idx) AS matched_path
+            FROM results GROUP BY doc_id, spdx_id
         """,
         "q_coord_parse": """
             WITH u AS (

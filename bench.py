@@ -239,9 +239,13 @@ def main():
     qs = entrymod.queries()
     for name in (
         "q_schedule_epoch", "q_fetch_join", "q_latest_maxby", "q_minhash_near_dups",
-        "q_ngram_jaccard", "q_cosine_topk", "q_embed_near_pairs",
+        "q_ngram_jaccard", "q_cosine_topk", "q_embed_near_pairs_lsh",
         "q_token_quality", "q_langid", "q_dedup_fingerprint", "q_media_decode",
+        "q_source_discovery", "q_maven_pom_merge",
     ):
+        # q_embed_near_pairs_lsh (multi-table LSH prefilter) is the scale
+        # path; the exact all-pairs q_embed_near_pairs stays a tiny-sf
+        # correctness oracle only
         queries[name] = run_noop(qs[name](spark, SF_DIR))
 
     total = time.time() - t0

@@ -138,6 +138,57 @@ def conda_match_packages(
 
 
 # ---------------------------------------------------------------------------
+# maven: parent-POM chain walk + first-wins merge (mavenBasedFetch.js:124-173)
+# ---------------------------------------------------------------------------
+
+
+def maven_merged_poms(
+    poms: DataFrame,
+    fields: list[str],
+    max_depth: int = 5,
+) -> DataFrame:
+    """_getPoms walks child → parent recursively, then _mergePoms spreads
+    [root-ancestor … child] in order so for every field the NEAREST
+    DESCENDANT that defines it wins (later spreads override; absent keys
+    keep the ancestor's value). Null models 'absent', so the merged field
+    is coalesce(child, parent, grandparent, …) up the chain.
+
+    `poms` columns: group_id, artifact_id, version, parent_group,
+    parent_artifact, parent_version + `fields`. The recursion becomes
+    `max_depth` bounded self-joins on the (group, artifact, version) key
+    (the reference recurses until a POM has no <parent>; real chains are
+    ≤4-5 deep). Each join is a plain equi-hash-join — broadcast when the
+    POM dim is small, shuffle-keyed on the coordinate otherwise.
+    """
+    key = ["group_id", "artifact_id", "version"]
+    eff = poms.select(
+        *key,
+        F.col("parent_group").alias("_pg"),
+        F.col("parent_artifact").alias("_pa"),
+        F.col("parent_version").alias("_pv"),
+        *[F.col(f) for f in fields],
+    )
+    for _ in range(max_depth):
+        parent = poms.select(
+            F.col("group_id").alias("_pg"),
+            F.col("artifact_id").alias("_pa"),
+            F.col("version").alias("_pv"),
+            F.col("parent_group").alias("_ppg"),
+            F.col("parent_artifact").alias("_ppa"),
+            F.col("parent_version").alias("_ppv"),
+            *[F.col(f).alias(f"_p_{f}") for f in fields],
+        )
+        eff = eff.join(parent, ["_pg", "_pa", "_pv"], "left").select(
+            *key,
+            F.col("_ppg").alias("_pg"),
+            F.col("_ppa").alias("_pa"),
+            F.col("_ppv").alias("_pv"),
+            *[F.coalesce(F.col(f), F.col(f"_p_{f}")).alias(f) for f in fields],
+        )
+    return eff.select(*key, *fields)
+
+
+# ---------------------------------------------------------------------------
 # debian: copyright-file License-line parse (debianFetch.js:346-385)
 # ---------------------------------------------------------------------------
 

@@ -176,7 +176,8 @@ def enqueue_batch(
         # are definitely unseen, suspects verify on the exact string key.
         probed = probe_candidates(fresh2, seen_filters, "url_hash", n_filter_parts)
         verified = probed.filter(F.col("maybe_seen")).join(
-            seen.select(F.col("seen_key").alias("_skey"), F.lit(True).alias("_ex")),
+            seen.select(F.col("seen_key").alias("_skey")).distinct()
+            .withColumn("_ex", F.lit(True)),
             "_skey", "left",
         )
         flagged = probed.filter(~F.col("maybe_seen")).withColumn(
@@ -184,7 +185,8 @@ def enqueue_batch(
         ).unionByName(verified).drop("maybe_seen")
     else:
         flagged = fresh2.join(
-            seen.select(F.col("seen_key").alias("_skey"), F.lit(True).alias("_ex")),
+            seen.select(F.col("seen_key").alias("_skey")).distinct()
+            .withColumn("_ex", F.lit(True)),
             "_skey", "left",
         )
     flagged = flagged.cache()

@@ -37,9 +37,46 @@ def flush_queue(store: SnapshotStore, queue: str, epoch: int) -> int:
     flushQueue), committed as a new snapshot. Returns rows flushed."""
     frontier = store.read("frontier")
     keep = frontier.filter(F.col("queue") != queue)
-    flushed = frontier.count() - keep.count()
+    # one pass for both counts
+    row = frontier.agg(
+        F.count("*").alias("n"), F.count_if(F.col("queue") == queue).alias("f")
+    ).collect()[0]
+    flushed = int(row["f"])
     store.commit(epoch=epoch, replace={"frontier": keep}, meta={"op": f"flush:{queue}"})
     return flushed
+
+
+def publish_local(store: SnapshotStore, epoch: int) -> int:
+    """ScopedQueueSets.publish (scopedQueueSets.js:82-104): drain every
+    LOCAL queue and re-push its requests as requeuables onto the
+    same-named GLOBAL queue — the shutdown path that hands locally-scoped
+    work (tool tasks) to the fleet. The reference pops queue by queue in
+    queue-set order; re-pushed requests land at the global tail, so they
+    get fresh enqueued_seq values ordered by (queue rotation order, local
+    FIFO order). Attempt counts and backoff gates are preserved
+    (request.createRequeuable). One atomic snapshot commit; returns rows
+    published."""
+    from crawler_spark.config import QUEUE_NAMES
+
+    frontier = store.read("frontier")
+    local = frontier.filter(F.col("scope") == "local")
+    glob = frontier.filter(F.col("scope") != "local")
+    next_seq = int(store.snapshot().meta.get("next_seq", 0))
+    qorder = F.coalesce(
+        *[F.when(F.col("queue") == q, F.lit(i)) for i, q in enumerate(QUEUE_NAMES)],
+        F.lit(len(QUEUE_NAMES)),
+    )
+    w = Window.orderBy(qorder, "enqueued_seq")
+    moved = local.withColumn(
+        "enqueued_seq", (F.row_number().over(w) - 1 + F.lit(next_seq)).cast("long")
+    ).withColumn("scope", F.lit("global"))
+    n = moved.count()
+    store.commit(
+        epoch=epoch,
+        replace={"frontier": glob.unionByName(moved.select(*frontier.columns))},
+        meta={"op": "publish", "next_seq": next_seq + n},
+    )
+    return n
 
 
 def requeue_deadletters(
@@ -113,9 +150,13 @@ def remove_from_filters(
             return out
         keys = np.unique(rem_pdf["key"].to_numpy(dtype=np.int64).view(np.uint64))
         ck = CuckooFilter.from_bytes(out.iloc[0]["cuckoo"])
-        ck.delete_many(keys)
+        misses = ck.delete_many(keys)
         out.iloc[0, out.columns.get_loc("cuckoo")] = ck.to_bytes()
-        out.iloc[0, out.columns.get_loc("n_keys")] = int(out.iloc[0]["n_keys"]) - len(keys)
+        # only keys actually present were removed — misses (never inserted,
+        # or lost to an insert overflow) must not drive n_keys below truth
+        out.iloc[0, out.columns.get_loc("n_keys")] = (
+            int(out.iloc[0]["n_keys"]) - (len(keys) - misses)
+        )
         return out
 
     return (

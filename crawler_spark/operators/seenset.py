@@ -225,6 +225,11 @@ FILTER_SCHEMA = T.StructType(
         T.StructField("pid", T.IntegerType()),
         T.StructField("n_keys", T.LongType()),
         T.StructField("k_hashes", T.IntegerType()),
+        # cuckoo insert overflows in this partition: when > 0 the cuckoo
+        # filter has false NEGATIVES for the overflowed keys — callers on
+        # the cuckoo-only path must fall back to the exact anti-join for
+        # such partitions (the bloom path is unaffected)
+        T.StructField("overflowed", T.LongType()),
         T.StructField("bloom", T.BinaryType()),
         T.StructField("cuckoo", T.BinaryType()),
     ]
@@ -253,12 +258,13 @@ def build_filters(
         m_bits, k = bloom_params(int(n * capacity_headroom) + 16, fpp)
         bloom = bloom_build(keys, m_bits, k)
         ck = CuckooFilter.for_capacity(int(n * capacity_headroom) + 16)
-        ck.insert_many(keys)
+        overflowed = ck.insert_many(keys)
         return pd.DataFrame(
             {
                 "pid": [int(pdf["pid"].iloc[0])],
                 "n_keys": [n],
                 "k_hashes": [k],
+                "overflowed": [int(overflowed)],
                 "bloom": [bloom],
                 "cuckoo": [ck.to_bytes()],
             }
