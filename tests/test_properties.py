@@ -114,3 +114,80 @@ def test_pop_schedule_conservation(counts, budget, epoch):
         if s == "global":
             assert all(remaining[("local", qq)] == 0 for qq in QUEUE_NAMES)
         remaining[(s, q)] -= 1
+
+
+# -- round 2 kernels ----------------------------------------------------------
+
+from crawler_spark.data.top_seeds import ALIGN_INITIAL, PAGE_SIZES, page_window
+from crawler_spark.operators.discovery import discover_source_py, tag_patterns_py
+from crawler_spark.simulator import CrawlSimulator
+
+
+@given(kind=st.sampled_from(sorted(PAGE_SIZES)),
+       start=st.integers(-50, 5000), end=st.integers(-50, 6000))
+@settings(max_examples=300, deadline=None)
+def test_page_window_invariants(kind, start, end):
+    lo, hi = page_window(kind, start, end)
+    ps = PAGE_SIZES[kind]
+    s = max(start or 0, 0) if start and start >= 0 else 0
+    e = end if end and end - s > 0 else s + 1000
+    assert (hi - lo) % ps == 0 and hi > lo          # whole pages, ≥1 page
+    assert lo <= s < lo + ps if ALIGN_INITIAL[kind] else lo == s
+    assert hi >= e                                   # requested window covered
+    assert hi - ps < e                               # no page beyond the loop bound
+
+
+@given(version=st.from_regex(r"[0-9]{1,3}\.[0-9]{1,2}\.[0-9]{1,2}", fullmatch=True),
+       n_cands=st.integers(0, 5), data=st.data())
+@settings(max_examples=150, deadline=None)
+def test_discovery_first_resolving_candidate_wins(version, n_cands, data):
+    repos = [f"r{i}" for i in range(4)]
+    cands = [
+        data.draw(st.sampled_from(
+            [f"https://github.com/o/{r}" for r in repos]
+            + ["https://gitlab.com/o/x", "not a url", ""]
+        ))
+        for _ in range(n_cands)
+    ]
+    tagged = set(data.draw(st.sets(st.sampled_from(repos), max_size=4)))
+    tags_by_repo = {
+        ("o", r): {data.draw(st.sampled_from(tag_patterns_py(version))): f"sha-{r}"}
+        for r in tagged
+    }
+    got = discover_source_py(version, cands, tags_by_repo)
+    resolvable = [
+        u.rsplit("/", 1)[1] for u in cands
+        if u.startswith("https://github.com/") and u.rsplit("/", 1)[1] in tagged
+    ]
+    if not resolvable:
+        assert got is None
+    else:
+        assert got is not None and got["source_name"] == resolvable[0]
+        assert got["source_revision"] == f"sha-{resolvable[0]}"
+
+
+@given(kind=st.sampled_from(["always", "match", "version", "matchOrVersion", 3]),
+       origin=st.sampled_from(["origin", "cache", "storage"]),
+       stored_version=st.one_of(st.none(), st.integers(0, 5)),
+       processed_at=st.one_of(st.none(), st.integers(0, 30)),
+       cur_version=st.integers(0, 5), epoch=st.integers(0, 40))
+@settings(max_examples=400, deadline=None)
+def test_should_process_matrix_invariants(kind, origin, stored_version, processed_at,
+                                          cur_version, epoch):
+    sim = CrawlSimulator([])
+    stored = None if origin != "storage" else {
+        "version": stored_version, "processed_at": processed_at,
+    }
+    sp = sim._should_process(kind, origin, stored, cur_version, epoch)
+    if kind == "always" or origin != "storage":
+        # non-storage content always processes under every freshness kind
+        assert sp
+    elif kind == "match":
+        assert not sp
+    elif kind in ("version", "matchOrVersion"):
+        assert sp == (stored_version is None or stored_version < cur_version)
+    else:  # N epochs
+        assert sp == (processed_at is None or (epoch - processed_at) > kind)
+    # monotonicity: bumping the processor version never flips process→skip
+    if kind in ("version", "matchOrVersion") and sp:
+        assert sim._should_process(kind, origin, stored, cur_version + 1, epoch)
