@@ -524,6 +524,200 @@ def q_maven_pom_merge(spark, sf_dir):
     return maven_merged_poms(poms, ["license", "url", "description"])
 
 
+def _manifest_docs(spark, sf_dir):
+    """Synthetic per-provider manifest/registry JSON fixture from part:
+    every ecosystem's field-priority quirks are exercised (npm homepage
+    array + bugs string-vs-object, packagist non-http bugs filtered,
+    nuget nuspec-before-manifest ordering, conditional fields)."""
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+
+    def ub(tag):
+        return F.concat(
+            F.lit("https://github.com/o"), (pk % 5).cast("string"),
+            F.lit("/" + tag + "-"), (pk % 13).cast("string"),
+        )
+
+    def jq(col):  # "col"
+        return F.concat(F.lit('"'), col, F.lit('"'))
+
+    provider = (
+        F.when(pk % 10 == 0, "npmjs").when(pk % 10 == 1, "mavencentral")
+        .when(pk % 10 == 2, "pypi").when(pk % 10 == 3, "rubygems")
+        .when(pk % 10 == 4, "cratesio").when(pk % 10 == 5, "packagist")
+        .when(pk % 10 == 6, "cocoapods").when(pk % 10 == 7, "condaforge")
+        .when(pk % 10 == 8, "nuget").otherwise("golang")
+    )
+    npm_manifest = F.concat(
+        F.lit('{"repository":{"url":'), jq(ub("mrepo")), F.lit("},"),
+        F.when(pk % 3 == 0,
+               F.concat(F.lit('"homepage":['), jq(ub("mh1")), F.lit(","), jq(ub("mh2")), F.lit("],")))
+        .otherwise(F.concat(F.lit('"homepage":'), jq(ub("mh")), F.lit(","))),
+        F.when(pk % 2 == 0,
+               F.concat(F.lit('"bugs":"https://bugs.example/'), pk.cast("string"), F.lit('"')))
+        .otherwise(F.concat(F.lit('"bugs":{"url":'), jq(ub("mbugs")), F.lit("}"))),
+        F.lit("}"),
+    )
+    manifest = (
+        F.when(pk % 10 == 0, npm_manifest)
+        .when(pk % 10 == 4, F.concat(
+            F.when(pk % 3 == 0, F.lit("{")).otherwise(
+                F.concat(F.lit('{"repository":'), jq(ub("crepo")), F.lit(","))),
+            F.lit('"homepage":'), jq(ub("chome")),
+            F.lit(',"documentation":'), jq(ub("cdoc")), F.lit("}")))
+        .when(pk % 10 == 5, F.concat(
+            F.lit('{"source":{"url":'), jq(ub("psrc")), F.lit('},"homepage":'),
+            jq(ub("phome")), F.lit("}")))
+        .when(pk % 10 == 8, F.concat(F.lit('{"projectUrl":'), jq(ub("nproj")), F.lit("}")))
+    )
+    registry = (
+        F.when((pk % 10 == 0) & (pk % 4 != 1),
+               F.concat(F.lit('{"url":'), jq(ub("rurl")), F.lit("}")))
+        .when((pk % 10 == 1) & (pk % 3 != 0), F.concat(
+            F.lit('{"summary":{"scm":[{"url":['), jq(ub("scm")), F.lit("]}]}}")))
+        .when(pk % 10 == 1, F.lit('{"summary":{}}'))
+        .when(pk % 10 == 2, F.concat(
+            F.lit('{"info":{'),
+            F.when(pk % 2 == 0, F.concat(F.lit('"docs_url":'), jq(ub("docs")), F.lit(","))).otherwise(F.lit("")),
+            F.lit('"home_page":'), jq(ub("hp")),
+            F.lit(',"project_url":'), jq(ub("purl")), F.lit("}}")))
+        .when(pk % 10 == 3, F.concat(
+            F.lit('{"homepage_uri":'), jq(ub("ghome")),
+            F.lit(',"source_code_uri":'), jq(ub("gsrc")),
+            F.when(pk % 2 == 0, F.concat(F.lit(',"gem_uri":'), jq(ub("ggem")))).otherwise(F.lit("")),
+            F.lit("}")))
+        .when(pk % 10 == 5, F.concat(
+            F.lit('{"dist":{"url":'), jq(ub("pdist")), F.lit('},"bugs":"not-a-url"}')))
+        .when((pk % 10 == 6) & (pk % 2 == 0),
+              F.concat(F.lit('{"source":{"http":'), jq(ub("phttp")), F.lit("}}")))
+        .when(pk % 10 == 6,
+              F.concat(F.lit('{"source":{"git":'), jq(ub("pgit")), F.lit("}}")))
+        .when(pk % 10 == 7, F.concat(
+            F.lit('{"channelData":{"home":'), jq(ub("home")),
+            F.when(pk % 2 == 0, F.concat(F.lit(',"source_url":'), jq(ub("csrc")))).otherwise(F.lit("")),
+            F.lit("}}")))
+        .when(pk % 10 == 8, F.concat(
+            F.lit('{"repository":{"url":'), jq(ub("nrepo")),
+            F.lit('},"licenseUrl":'), jq(ub("nlic")), F.lit("}")))
+    )
+    return p.select(
+        pk.alias("mid"), provider.alias("provider"),
+        manifest.alias("manifest_json"), registry.alias("registry_json"),
+    )
+
+
+def q_manifest_candidates(spark, sf_dir):
+    """P4-P13 per-ecosystem candidate-URL extraction: each extract
+    processor's manifest field-priority list (npmExtract.js:60-80,
+    mavenExtract.js:42-46, pypiExtract.js:38-50, gemExtract.js:42-55,
+    crateExtract.js:44-49, composerExtract.js:61-88, podExtract.js:46-58,
+    condaExtract.js:37-45, nugetExtract.js:77-103) as pure get_json_object
+    projections. The DuckDB oracle re-extracts with DuckDB's independent
+    JSON engine."""
+    from crawler_spark.functions.manifests import candidate_source_urls
+
+    docs = _manifest_docs(spark, sf_dir)
+    c = candidate_source_urls(
+        F.col("provider"), F.col("manifest_json"), F.col("registry_json")
+    )
+    return docs.select(
+        "mid", "provider",
+        F.size(c).cast("long").alias("n_cands"),
+        F.array_join(c, "|").alias("cands"),
+    )
+
+
+def q_source_fallback(spark, sf_dir):
+    """Fabricated source specs when GitHub discovery finds nothing:
+    maven sourcearchive (mavenExtract.js:57-63), conda condasrc with
+    revision truncated at the first '-' (condaExtract.js:52-57), debian
+    debsrc via registry Architecture match where the source package name
+    overrides the binary name (debExtract.js:54-65)."""
+    from crawler_spark.functions.manifests import (
+        debsrc_sources, fallback_source_struct,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    provider = (
+        F.when(pk % 4 == 0, "mavencentral").when(pk % 4 == 1, "condaforge")
+        .when(pk % 4 == 2, "debian").otherwise("npmjs")
+    )
+    arch = F.when(pk % 3 == 0, "amd64").when(pk % 3 == 1, "arm64").otherwise("all")
+    revision = (
+        F.when(pk % 4 == 0, F.concat(F.lit("1."), (pk % 9).cast("string"), F.lit(".3")))
+        .when(pk % 4 == 1, F.concat(F.lit("2."), (pk % 9).cast("string"), F.lit("-py38_0")))
+        .when(pk % 4 == 2, F.concat(F.lit("3."), (pk % 9).cast("string"), F.lit("_"), arch))
+        .otherwise(F.lit("4.0.0"))
+    )
+    specs = p.select(
+        pk.alias("spec_id"), provider.alias("provider"),
+        F.when(pk % 4 == 0, F.concat(F.lit("ns"), (pk % 3).cast("string"))).alias("namespace"),
+        F.concat(F.lit("n"), (pk % 50).cast("string")).alias("name"),
+        revision.alias("revision"),
+    )
+    direct = specs.filter(F.col("provider").isin("mavencentral", "condaforge")).select(
+        "spec_id",
+        fallback_source_struct(
+            F.col("provider"), F.col("namespace"), F.col("name"), F.col("revision")
+        ).alias("fb"),
+    ).select("spec_id", "fb.*")
+    entries = p.filter(pk % 7 != 3).select(
+        F.concat(F.lit("n"), (pk % 50).cast("string")).alias("name"),
+        arch.alias("architecture"),
+        F.when(pk % 5 != 4,
+               F.concat(F.lit("src-n"), (pk % 50).cast("string"))).alias("source"),
+    ).distinct()
+    deb = debsrc_sources(
+        specs.filter(F.col("provider") == "debian").select("spec_id", "name", "revision"),
+        entries,
+    )
+    return direct.unionByName(deb)
+
+
+def q_manifest_discovery(spark, sf_dir):
+    """End-to-end P4→P22 chain: manifest JSON → ordered candidates →
+    8-pattern tag-match discovery → per-provider fallback
+    (extract_and_discover). npm rows resolve via tags or stay null;
+    maven rows fall back to a sourcearchive spec when discovery misses."""
+    from crawler_spark.functions.manifests import extract_and_discover
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    version = F.concat_ws(
+        ".", (F.col("p_size") % 9).cast("string"), (pk % 20).cast("string"), (pk % 7).cast("string")
+    )
+    owner = F.concat(F.lit("org"), (pk % 5).cast("string"))
+    rname = F.concat(F.lit("repo-"), (pk % 97).cast("string"))
+    cand1 = F.when(pk % 4 == 0, F.lit("https://gitlab.com/org/elsewhere")).otherwise(
+        F.concat(F.lit("https://github.com/"), owner, F.lit("/missing-"), pk.cast("string"))
+    )
+    cand2 = F.concat(F.lit("git@github.com:"), owner, F.lit("/"), rname, F.lit(".git"))
+    # pk%3==2 maven rows point at a repo absent from the tags dim → fallback
+    is_npm = pk % 3 != 2
+    manifest = F.when(is_npm, F.concat(
+        F.lit('{"repository":{"url":"'), cand1, F.lit('"},"homepage":"'), cand2, F.lit('"}')
+    ))
+    registry = F.when(~is_npm, F.when(pk % 2 == 0, F.concat(
+        F.lit('{"summary":{"scm":[{"url":["'), cand2, F.lit('"]}]}}')
+    )).otherwise(F.lit('{"summary":{}}')))
+    docs = p.select(
+        pk.alias("doc_id"),
+        F.when(is_npm, "npmjs").otherwise("mavencentral").alias("provider"),
+        F.when(~is_npm, F.lit("gns")).alias("namespace"),
+        F.concat(F.lit("pkg"), (pk % 40).cast("string")).alias("name"),
+        version.alias("version"),
+        manifest.alias("manifest_json"),
+        registry.alias("registry_json"),
+    )
+    _, tags = _discovery_inputs(spark, sf_dir)
+    out = extract_and_discover(docs, tags)
+    return out.select(
+        "doc_id", "provider", "source_type", "source_provider",
+        "source_namespace", "source_name", "source_revision",
+    )
+
+
 def _top_ranked(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     rank = F.col("p_partkey") - 1  # partkeys are 1..N contiguous
@@ -798,6 +992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conda_match": q_conda_match,
         "q_debian_licenses": q_debian_licenses,
         "q_maven_pom_merge": q_maven_pom_merge,
+        "q_manifest_candidates": q_manifest_candidates,
+        "q_source_fallback": q_source_fallback,
+        "q_manifest_discovery": q_manifest_discovery,
         "q_top_paging": q_top_paging,
         "q_file_summary": q_file_summary,
         "q_interesting_files": q_interesting_files,
@@ -1030,6 +1227,229 @@ def oracle_sql() -> dict[str, str]:
                    'U' || CAST(p_partkey - p_partkey % 2 AS VARCHAR) AS url,
                    'D' || CAST(p_partkey AS VARCHAR) AS description
             FROM part
+        """,
+        # JSON construction mirrors _manifest_docs; EXTRACTION uses
+        # DuckDB's own JSON engine (independent of get_json_object)
+        "q_manifest_candidates": """
+            WITH base AS (
+              SELECT p_partkey AS mid, p_partkey AS pk,
+                     CASE p_partkey % 10
+                       WHEN 0 THEN 'npmjs' WHEN 1 THEN 'mavencentral' WHEN 2 THEN 'pypi'
+                       WHEN 3 THEN 'rubygems' WHEN 4 THEN 'cratesio' WHEN 5 THEN 'packagist'
+                       WHEN 6 THEN 'cocoapods' WHEN 7 THEN 'condaforge' WHEN 8 THEN 'nuget'
+                       ELSE 'golang' END AS provider,
+                     'https://github.com/o' || CAST(p_partkey % 5 AS VARCHAR) AS ub,
+                     CAST(p_partkey % 13 AS VARCHAR) AS sfx
+              FROM part),
+            docs AS (
+              SELECT mid, pk, provider,
+                CASE
+                  WHEN pk % 10 = 0 THEN
+                    '{"repository":{"url":"' || ub || '/mrepo-' || sfx || '"},' ||
+                    CASE WHEN pk % 3 = 0
+                      THEN '"homepage":["' || ub || '/mh1-' || sfx || '","' || ub || '/mh2-' || sfx || '"],'
+                      ELSE '"homepage":"' || ub || '/mh-' || sfx || '",' END ||
+                    CASE WHEN pk % 2 = 0
+                      THEN '"bugs":"https://bugs.example/' || CAST(pk AS VARCHAR) || '"'
+                      ELSE '"bugs":{"url":"' || ub || '/mbugs-' || sfx || '"}' END || '}'
+                  WHEN pk % 10 = 4 THEN
+                    CASE WHEN pk % 3 = 0 THEN '{'
+                         ELSE '{"repository":"' || ub || '/crepo-' || sfx || '",' END ||
+                    '"homepage":"' || ub || '/chome-' || sfx || '","documentation":"' || ub || '/cdoc-' || sfx || '"}'
+                  WHEN pk % 10 = 5 THEN
+                    '{"source":{"url":"' || ub || '/psrc-' || sfx || '"},"homepage":"' || ub || '/phome-' || sfx || '"}'
+                  WHEN pk % 10 = 8 THEN '{"projectUrl":"' || ub || '/nproj-' || sfx || '"}'
+                END AS m,
+                CASE
+                  WHEN pk % 10 = 0 AND pk % 4 <> 1 THEN '{"url":"' || ub || '/rurl-' || sfx || '"}'
+                  WHEN pk % 10 = 1 AND pk % 3 <> 0 THEN
+                    '{"summary":{"scm":[{"url":["' || ub || '/scm-' || sfx || '"]}]}}'
+                  WHEN pk % 10 = 1 THEN '{"summary":{}}'
+                  WHEN pk % 10 = 2 THEN
+                    '{"info":{' ||
+                    CASE WHEN pk % 2 = 0 THEN '"docs_url":"' || ub || '/docs-' || sfx || '",' ELSE '' END ||
+                    '"home_page":"' || ub || '/hp-' || sfx || '","project_url":"' || ub || '/purl-' || sfx || '"}}'
+                  WHEN pk % 10 = 3 THEN
+                    '{"homepage_uri":"' || ub || '/ghome-' || sfx || '","source_code_uri":"' || ub || '/gsrc-' || sfx || '"' ||
+                    CASE WHEN pk % 2 = 0 THEN ',"gem_uri":"' || ub || '/ggem-' || sfx || '"' ELSE '' END || '}'
+                  WHEN pk % 10 = 5 THEN '{"dist":{"url":"' || ub || '/pdist-' || sfx || '"},"bugs":"not-a-url"}'
+                  WHEN pk % 10 = 6 AND pk % 2 = 0 THEN '{"source":{"http":"' || ub || '/phttp-' || sfx || '"}}'
+                  WHEN pk % 10 = 6 THEN '{"source":{"git":"' || ub || '/pgit-' || sfx || '"}}'
+                  WHEN pk % 10 = 7 THEN
+                    '{"channelData":{"home":"' || ub || '/home-' || sfx || '"' ||
+                    CASE WHEN pk % 2 = 0 THEN ',"source_url":"' || ub || '/csrc-' || sfx || '"' ELSE '' END || '}}'
+                  WHEN pk % 10 = 8 THEN
+                    '{"repository":{"url":"' || ub || '/nrepo-' || sfx || '"},"licenseUrl":"' || ub || '/nlic-' || sfx || '"}'
+                END AS r
+              FROM base),
+            cands AS (
+              SELECT mid, provider,
+                CASE provider
+                  WHEN 'npmjs' THEN
+                    [json_extract_string(m, '$.repository.url'), json_extract_string(m, '$.url'),
+                     CASE WHEN json_extract_string(m, '$.homepage') LIKE '[%'
+                          THEN json_extract_string(m, '$.homepage[0]')
+                          ELSE json_extract_string(m, '$.homepage') END,
+                     CASE WHEN json_extract_string(m, '$.bugs') LIKE 'http%'
+                          THEN json_extract_string(m, '$.bugs')
+                          ELSE json_extract_string(m, '$.bugs.url') END,
+                     json_extract_string(r, '$.repository.url'), json_extract_string(r, '$.url'),
+                     CASE WHEN json_extract_string(r, '$.homepage') LIKE '[%'
+                          THEN json_extract_string(r, '$.homepage[0]')
+                          ELSE json_extract_string(r, '$.homepage') END,
+                     CASE WHEN json_extract_string(r, '$.bugs') LIKE 'http%'
+                          THEN json_extract_string(r, '$.bugs')
+                          ELSE json_extract_string(r, '$.bugs.url') END]
+                  WHEN 'mavencentral' THEN [json_extract_string(r, '$.summary.scm[0].url[0]')]
+                  WHEN 'pypi' THEN
+                    [json_extract_string(r, '$.info.bugtrack_url'), json_extract_string(r, '$.info.docs_url'),
+                     json_extract_string(r, '$.info.download_url'), json_extract_string(r, '$.info.home_page'),
+                     json_extract_string(r, '$.info.package_url'), json_extract_string(r, '$.info.project_url'),
+                     json_extract_string(r, '$.info.release_url')]
+                  WHEN 'rubygems' THEN
+                    [json_extract_string(r, '$.bug_tracker_uri'), json_extract_string(r, '$.changelog_uri'),
+                     json_extract_string(r, '$.documentation_uri'), json_extract_string(r, '$.gem_uri'),
+                     json_extract_string(r, '$.homepage_uri'), json_extract_string(r, '$.mailing_list_uri'),
+                     json_extract_string(r, '$.source_code_uri')]
+                  WHEN 'cratesio' THEN
+                    [json_extract_string(m, '$.repository'), json_extract_string(m, '$.homepage'),
+                     json_extract_string(m, '$.documentation')]
+                  WHEN 'packagist' THEN
+                    [json_extract_string(m, '$.source.url'), json_extract_string(m, '$.dist.url'),
+                     json_extract_string(m, '$.homepage'),
+                     CASE WHEN json_extract_string(m, '$.bugs') LIKE 'http%'
+                          THEN json_extract_string(m, '$.bugs')
+                          ELSE json_extract_string(m, '$.bugs.url') END,
+                     json_extract_string(r, '$.source.url'), json_extract_string(r, '$.dist.url'),
+                     json_extract_string(r, '$.homepage'),
+                     CASE WHEN json_extract_string(r, '$.bugs') LIKE 'http%'
+                          THEN json_extract_string(r, '$.bugs')
+                          ELSE json_extract_string(r, '$.bugs.url') END]
+                  WHEN 'cocoapods' THEN
+                    [json_extract_string(r, '$.source.http'), json_extract_string(r, '$.source.git')]
+                  WHEN 'condaforge' THEN
+                    [json_extract_string(r, '$.channelData.source_url'), json_extract_string(r, '$.channelData.source_git_url'),
+                     json_extract_string(r, '$.channelData.home'), json_extract_string(r, '$.channelData.dev_url'),
+                     json_extract_string(r, '$.channelData.doc_url'), json_extract_string(r, '$.channelData.doc_source_url')]
+                  WHEN 'nuget' THEN
+                    [json_extract_string(r, '$.repository.url'), json_extract_string(r, '$.projectUrl'),
+                     json_extract_string(r, '$.licenseUrl'),
+                     json_extract_string(m, '$.repository.url'), json_extract_string(m, '$.projectUrl'),
+                     json_extract_string(m, '$.licenseUrl')]
+                  ELSE []::VARCHAR[]
+                END AS c
+              FROM docs)
+            SELECT mid, provider,
+                   CAST(len(list_filter(c, x -> x IS NOT NULL)) AS BIGINT) AS n_cands,
+                   coalesce(array_to_string(list_filter(c, x -> x IS NOT NULL), '|'), '') AS cands
+            FROM cands
+        """,
+        "q_source_fallback": """
+            WITH p AS (SELECT p_partkey AS pk FROM part),
+            specs AS (
+              SELECT pk AS spec_id,
+                     CASE pk % 4 WHEN 0 THEN 'mavencentral' WHEN 1 THEN 'condaforge'
+                                 WHEN 2 THEN 'debian' ELSE 'npmjs' END AS provider,
+                     CASE WHEN pk % 4 = 0 THEN 'ns' || CAST(pk % 3 AS VARCHAR) END AS namespace,
+                     'n' || CAST(pk % 50 AS VARCHAR) AS name,
+                     CASE pk % 3 WHEN 0 THEN 'amd64' WHEN 1 THEN 'arm64' ELSE 'all' END AS arch,
+                     CAST(pk % 9 AS VARCHAR) AS v
+              FROM p),
+            direct AS (
+              SELECT spec_id, 'sourcearchive' AS source_type, 'mavencentral' AS source_provider,
+                     namespace AS source_namespace, name AS source_name,
+                     '1.' || v || '.3' AS source_revision
+              FROM specs WHERE provider = 'mavencentral'
+              UNION ALL
+              SELECT spec_id, 'condasrc', 'condaforge', NULL, name, '2.' || v
+              FROM specs WHERE provider = 'condaforge'),
+            entries AS (
+              SELECT DISTINCT 'n' || CAST(pk % 50 AS VARCHAR) AS name,
+                     CASE pk % 3 WHEN 0 THEN 'amd64' WHEN 1 THEN 'arm64' ELSE 'all' END AS architecture,
+                     CASE WHEN pk % 5 <> 4 THEN 'src-n' || CAST(pk % 50 AS VARCHAR) END AS source
+              FROM p WHERE pk % 7 <> 3),
+            deb AS (
+              SELECT s.spec_id, 'debsrc' AS source_type, 'debian' AS source_provider,
+                     NULL AS source_namespace, e.source AS source_name,
+                     '3.' || s.v AS source_revision
+              FROM specs s JOIN entries e ON e.name = s.name AND e.architecture = s.arch
+              WHERE s.provider = 'debian' AND e.source IS NOT NULL)
+            SELECT * FROM direct UNION ALL SELECT * FROM deb
+        """,
+        # candidates stated closed-form (the synthetic JSON embeds known
+        # URLs) — independent of the engine's JSON extraction path
+        "q_manifest_discovery": """
+            WITH req AS (
+              SELECT p_partkey AS pk, p_partkey AS doc_id,
+                     CAST(p_size % 9 AS VARCHAR) || '.' || CAST(p_partkey % 20 AS VARCHAR)
+                       || '.' || CAST(p_partkey % 7 AS VARCHAR) AS version,
+                     CASE WHEN p_partkey % 3 <> 2 THEN 'npmjs' ELSE 'mavencentral' END AS provider,
+                     CASE WHEN p_partkey % 3 = 2 THEN 'gns' END AS namespace,
+                     'pkg' || CAST(p_partkey % 40 AS VARCHAR) AS pname,
+                     CASE WHEN p_partkey % 4 = 0 THEN 'https://gitlab.com/org/elsewhere'
+                          ELSE 'https://github.com/org' || CAST(p_partkey % 5 AS VARCHAR)
+                               || '/missing-' || CAST(p_partkey AS VARCHAR) END AS cand1,
+                     'git@github.com:org' || CAST(p_partkey % 5 AS VARCHAR)
+                       || '/repo-' || CAST(p_partkey % 97 AS VARCHAR) || '.git' AS cand2
+              FROM part),
+            withc AS (
+              SELECT *, CASE WHEN provider = 'npmjs' THEN [cand1, cand2]
+                             WHEN pk % 2 = 0 THEN [cand2]
+                             ELSE []::VARCHAR[] END AS cl
+              FROM req),
+            tags AS (
+              SELECT 'org' || CAST(p_partkey % 5 AS VARCHAR) AS owner,
+                     'repo-' || CAST(p_partkey % 97 AS VARCHAR) AS name,
+                     CASE WHEN p_partkey % 2 = 0
+                          THEN 'v' || CAST(p_size % 9 AS VARCHAR) || '.' || CAST(p_partkey % 20 AS VARCHAR)
+                               || '.' || CAST(p_partkey % 7 AS VARCHAR)
+                          ELSE CAST(p_size % 9 AS VARCHAR) || '.' || CAST(p_partkey % 20 AS VARCHAR)
+                               || '.' || CAST(p_partkey % 7 AS VARCHAR) || '^{}' END AS tag
+              FROM part WHERE p_partkey % 3 <> 1),
+            tags2 AS (SELECT owner, name, tag, md5(owner || name || tag) AS sha FROM tags),
+            ex AS (
+              SELECT doc_id, version,
+                     unnest(list_transform(cl, (c, i) -> struct_pack(u := c, i := i))) AS s
+              FROM withc),
+            parsed AS (
+              SELECT doc_id, version, s.i AS cand_idx,
+                     nullif(regexp_extract(s.u, 'github\\.com[:/]+([^/?#\\s]+)/', 1), '') AS owner,
+                     nullif(regexp_replace(
+                       nullif(regexp_extract(s.u, 'github\\.com[:/]+[^/?#\\s]+/([^/?#\\s]+)', 1), ''),
+                       '\\.git$', ''), '') AS name
+              FROM ex),
+            uniq AS (
+              SELECT doc_id, owner, name, min(cand_idx) AS cand_idx, any_value(version) AS version
+              FROM parsed WHERE owner IS NOT NULL AND name IS NOT NULL
+              GROUP BY doc_id, owner, name),
+            pat AS (
+              SELECT *, [version || '^{}', 'v' || version || '^{}', version, 'v' || version,
+                         'rel/v' || version, 'v.' || version, version || '.0', 'v' || version || '.0']
+                        AS patterns
+              FROM uniq),
+            matched AS (
+              SELECT doc_id, cand_idx, list_position(patterns, tag) AS pattern_idx,
+                     owner, name, sha
+              FROM pat JOIN tags2 USING (owner, name)
+              WHERE list_position(patterns, tag) > 0),
+            win AS (
+              SELECT doc_id,
+                     arg_min(owner, cand_idx * 100 + pattern_idx) AS owner,
+                     arg_min(name, cand_idx * 100 + pattern_idx) AS rname,
+                     arg_min(sha, cand_idx * 100 + pattern_idx) AS sha
+              FROM matched GROUP BY doc_id)
+            SELECT r.doc_id, r.provider,
+                   CASE WHEN w.owner IS NOT NULL THEN 'git'
+                        WHEN r.provider = 'mavencentral' THEN 'sourcearchive' END AS source_type,
+                   CASE WHEN w.owner IS NOT NULL THEN 'github'
+                        WHEN r.provider = 'mavencentral' THEN 'mavencentral' END AS source_provider,
+                   CASE WHEN w.owner IS NOT NULL THEN w.owner
+                        WHEN r.provider = 'mavencentral' THEN r.namespace END AS source_namespace,
+                   CASE WHEN w.owner IS NOT NULL THEN w.rname
+                        WHEN r.provider = 'mavencentral' THEN r.pname END AS source_name,
+                   CASE WHEN w.owner IS NOT NULL THEN w.sha
+                        WHEN r.provider = 'mavencentral' THEN r.version END AS source_revision
+            FROM req r LEFT JOIN win w USING (doc_id)
         """,
         # page windows precomputed from the reference arithmetic:
         # npm(50,130): initial 36, pages 36/72/108 → [36,144)
