@@ -149,6 +149,45 @@ def q_host_budget(spark, sf_dir):
     )
 
 
+def q_freshness_gate(spark, sf_dir):
+    """P24 shouldProcess freshness matrix (traversalPolicy.js:211-231) +
+    the Processed/Traversed/Excluded fork (crawler.js:489-499) over a
+    synthetic (kind, stored-state) grid, routed through the ENGINE's own
+    gate (CrawlEngine._should_process_storage). Origin-served rows always
+    process (a fresh fetch carries no prior _metadata); storage-served
+    rows consult the matrix:
+      always → process; match → never (content not from origin);
+      version/matchOrVersion → stored version missing or behind;
+      N-epochs → stored processed-stamp missing or older than N."""
+    from crawler_spark.operators.epoch import CrawlEngine
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    epoch = 10
+    grid = p.select(
+        pk.alias("gid"),
+        F.when(pk % 5 == 0, "always").when(pk % 5 == 1, "match")
+        .when(pk % 5 == 2, "version").when(pk % 5 == 3, "matchOrVersion")
+        .otherwise("days").alias("fkind"),
+        (pk % 4 + 1).cast("int").alias("f_n"),
+        F.when(pk % 7 != 0, (pk % 3 + 1).cast("int")).alias("stored_version"),
+        F.when(pk % 11 != 0, (F.lit(epoch) - (pk % 6)).cast("int")).alias("stored_processed"),
+        (pk % 13 != 5).alias("storage_served"),
+        (pk % 2 == 0).alias("has_next"),
+    )
+    sp = CrawlEngine._should_process_storage(
+        F.col("stored_version"), F.col("stored_processed"), F.lit(2), epoch
+    )
+    outcome = F.when(
+        F.col("storage_served") & ~sp,
+        F.when(F.col("has_next"), "Traversed").otherwise("Excluded"),
+    ).otherwise(F.lit("Processed"))
+    return grid.select(
+        "gid", "fkind", "f_n", "stored_version", "stored_processed",
+        outcome.alias("outcome"),
+    )
+
+
 def q_backoff_routing(spark, sf_dir):
     """S7/S8 retry budget routing: attempt+1 > 5 → deadletter."""
     ev = _t(spark, sf_dir, "events")
@@ -978,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seen_antijoin": q_seen_antijoin,
         "q_attenuation_dedup": q_attenuation_dedup,
         "q_host_budget": q_host_budget,
+        "q_freshness_gate": q_freshness_gate,
         "q_backoff_routing": q_backoff_routing,
         "q_queue_counts": q_queue_counts,
         "q_scope_publish": q_scope_publish,
@@ -1065,6 +1105,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id AS host, event_id,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
             FROM events QUALIFY rnk <= 3
+        """,
+        # shouldProcess matrix stated closed-form per traversalPolicy.js
+        # semantics — independent of the engine's when-chain
+        "q_freshness_gate": """
+            WITH g AS (
+              SELECT p_partkey AS gid,
+                     CASE p_partkey % 5 WHEN 0 THEN 'always' WHEN 1 THEN 'match'
+                          WHEN 2 THEN 'version' WHEN 3 THEN 'matchOrVersion'
+                          ELSE 'days' END AS fkind,
+                     CAST(p_partkey % 4 + 1 AS INTEGER) AS f_n,
+                     CASE WHEN p_partkey % 7 <> 0 THEN CAST(p_partkey % 3 + 1 AS INTEGER) END AS stored_version,
+                     CASE WHEN p_partkey % 11 <> 0 THEN CAST(10 - p_partkey % 6 AS INTEGER) END AS stored_processed,
+                     p_partkey % 13 <> 5 AS storage_served,
+                     p_partkey % 2 = 0 AS has_next
+              FROM part),
+            s AS (
+              SELECT *, CASE fkind
+                          WHEN 'always' THEN TRUE
+                          WHEN 'match' THEN FALSE
+                          WHEN 'days' THEN stored_processed IS NULL OR (10 - stored_processed) > f_n
+                          ELSE stored_version IS NULL OR stored_version < 2 END AS sp
+              FROM g)
+            SELECT gid, fkind, f_n, stored_version, stored_processed,
+                   CASE WHEN storage_served AND NOT sp
+                        THEN CASE WHEN has_next THEN 'Traversed' ELSE 'Excluded' END
+                        ELSE 'Processed' END AS outcome
+            FROM s
         """,
         "q_backoff_routing": """
             WITH routed AS (

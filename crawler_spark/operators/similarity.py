@@ -25,7 +25,7 @@ the distance hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -208,30 +208,30 @@ def ivf_index(
     the smallest xxhash64(id): a deterministic uniform sample selected by
     orderBy(hash).limit(n_cells), which Spark executes as per-partition
     top-k + a single tiny merge (TakeOrderedAndProject) — no global sort,
-    no single-partition window, scale-safe 'train' step. Cell ids come
-    from a window over just those n_cells rows (a handful — bounded by
-    construction). Every vector is then assigned to its nearest centroid
-    via a broadcast cross-join + per-id argmax, map-side only."""
-    sample = (
+    no window at all, scale-safe 'train' step. Cell ids are assigned
+    driver-side on the collected ≤n_cells sample. Every vector is then
+    assigned to its nearest centroid via a literal-centroid argmax inside
+    whole-stage codegen, map-side only."""
+    sample_rows = (
         df.select(F.col(id_col), F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
         .orderBy("_h", F.col(id_col))
         .limit(n_cells)
-    )
-    w = Window.orderBy("_h", F.col(id_col))  # n_cells rows only
-    centroids = sample.select(
-        (F.row_number().over(w) - 1).alias("cell_id"),
-        F.col(vec_col).alias("centroid"),
-    )
+    ).collect()  # ≤ n_cells rows — the only driver materialization
+    spark = df.sparkSession
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(sample_rows)],
+        "cell_id int, centroid array<double>",
+    ).withColumn("centroid", F.col("centroid").cast(vec_type))
     # assignment is a pure projection: the centroid table is tiny (n_cells
     # rows), so materialize it into a literal and take the per-row argmax
-    # inside whole-stage codegen — zero shuffle, zero join, unlike a
-    # crossJoin+groupBy(id) which would reshuffle N×n_cells rows
-    cent_rows = centroids.collect()
+    # inside whole-stage codegen — zero shuffle, zero join, zero window,
+    # unlike a crossJoin+groupBy(id) which would reshuffle N×n_cells rows
     cells = []
-    for r in cent_rows:
-        cvec = F.array(*[F.lit(float(x)) for x in r["centroid"]])
+    for cell_id, r in enumerate(sample_rows):
+        cvec = F.array(*[F.lit(float(x)) for x in r[vec_col]])
         sim = dot(F.col(vec_col), cvec) / (l2_norm(F.col(vec_col)) * l2_norm(cvec))
-        cells.append(F.struct(sim.alias("s"), F.lit(-r["cell_id"]).alias("t"), F.lit(r["cell_id"]).alias("c")))
+        cells.append(F.struct(sim.alias("s"), F.lit(-cell_id).alias("t"), F.lit(cell_id).alias("c")))
     assigned = df.select(
         F.col(id_col), F.col(vec_col),
         F.array_max(F.array(*cells))["c"].alias("cell_id"),
