@@ -109,6 +109,15 @@ def ngram_jaccard_pairs(
     ).filter(F.size("sh") > 0)
     exploded = sh.select("id", F.explode("sh").alias("g"))
     if max_shingle_freq is not None:
+        # materialize the shingle explosion ONCE: the guarded plan is a
+        # diamond with four consumers (hot-list agg, post-filter sizes,
+        # both self-join sides) and each would otherwise re-run the regex
+        # tokenize + n-gram transform over every document — measured ~1.5×
+        # the whole query at sf0.1. MEMORY_AND_DISK so a 100 TB corpus
+        # spills instead of recomputing.
+        from pyspark import StorageLevel
+
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             exploded.groupBy("g").agg(F.count("*").alias("c"))
             .filter(F.col("c") > max_shingle_freq)
