@@ -207,6 +207,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    # materialize bands once: both self-join sides would otherwise
+    # recompute the k array_min∘transform signature chains per document
+    # (measured: signatures are ~55% of the whole pipeline at sf0.1).
+    # MEMORY_AND_DISK — at corpus scale the band rows spill, not recompute.
+    from pyspark import StorageLevel
+
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -307,6 +314,11 @@ def simhash_near_duplicates(
             )
         ).alias("ch"),
     ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    # same diamond as the LSH band join: both sides would recompute the
+    # 64 per-bit majority votes per document — materialize chunks once
+    from pyspark import StorageLevel
+
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
