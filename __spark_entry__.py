@@ -18,15 +18,28 @@ import os
 import sys
 from collections.abc import Callable
 
-# The driver may import this module from a different working directory;
-# `crawler_spark` lives next to this file, so pin the repo root on sys.path
-# before any query callable resolves its lazy imports.
-_HERE = os.path.dirname(os.path.abspath(__file__))
-if _HERE not in sys.path:
-    sys.path.insert(0, _HERE)
+# The driver may import this module from a foreign working directory OR
+# copy this file somewhere else and load it by path (in which case
+# dirname(__file__) points at the copy, not the repo). Pin every
+# directory that actually contains the `crawler_spark` package:
+# the file's own directory, the canonical repo root, and the cwd.
+_REPO_ROOT = "/root/repo"
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+
+def _ensure_import_path() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in (here, _REPO_ROOT, os.getcwd()):
+        if os.path.isdir(os.path.join(p, "crawler_spark")) and p not in sys.path:
+            sys.path.insert(0, p)
+
+
+_ensure_import_path()
+
+try:
+    from pyspark.sql import DataFrame, SparkSession, Window
+    from pyspark.sql import functions as F
+except ImportError:  # pragma: no cover — oracle_sql() must stay callable
+    DataFrame = SparkSession = Window = F = None  # type: ignore[assignment]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -939,10 +952,15 @@ def q_embed_near_pairs(spark, sf_dir):
     tiny-sf correctness oracle; the scale path is
     q_embed_near_pairs_lsh). Threshold picked so the oracle compares real
     rows: the synthetic embeddings' max pairwise cosine is ≈0.48/0.51 at
-    sf0.001/0.01, so the old 0.8 threshold matched vacuously."""
+    sf0.001/0.01, so the old 0.8 threshold matched vacuously.
+
+    Guarded: input is statically capped at vec_id < 4096 (a no-op at
+    every test sf — embeddings top out at 2000 rows at sf0.1 — mirrored
+    in the SQL oracle) so no harness can detonate the deliberate O(N²)
+    exact comparison at a large sf by accident."""
     from crawler_spark.operators.similarity import cosine
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4096)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -1007,10 +1025,12 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_import_path()
     return q_schedule_epoch(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_import_path()
     return {
         "q_schedule_epoch": q_schedule_epoch,
         "q_scan_project": q_scan_project,
@@ -1076,8 +1096,25 @@ def _sql_stop_hits(col: str, words: tuple[str, ...]) -> str:
     return f"len(list_filter({_SQL_TOKENS.format(col=col)}, t -> t IN ({wl})))"
 
 
+# Frozen copy of crawler_spark.operators.textstats.{STOPWORDS,LANGS} so
+# oracle_sql() works even in a process where pyspark / crawler_spark is
+# unavailable (the driver may render oracles DuckDB-side only).
+# tests/test_entry.py asserts this copy matches the package's.
+_ORACLE_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "que", "en", "una", "por", "con", "para", "es"),
+}
+_ORACLE_LANGS: tuple[str, ...] = tuple(_ORACLE_STOPWORDS)
+
+
 def oracle_sql() -> dict[str, str]:
-    from crawler_spark.operators.textstats import LANGS, STOPWORDS
+    _ensure_import_path()
+    try:
+        from crawler_spark.operators.textstats import LANGS, STOPWORDS
+    except Exception:  # pragma: no cover — pyspark-free fallback
+        LANGS, STOPWORDS = _ORACLE_LANGS, _ORACLE_STOPWORDS
 
     toks = _SQL_TOKENS.format(col="text")
     stop_en = _sql_stop_hits("text", STOPWORDS["en"])
@@ -1747,7 +1784,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine_sim DESC, id LIMIT 10
         """,
         "q_embed_near_pairs": """
-            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4096),
             p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      round(
@@ -1767,3 +1804,74 @@ def oracle_sql() -> dict[str, str]:
         # q_ivf_topk / q_winnow_fingerprints / q_embed_near_pairs_lsh:
         # xxhash64-based — rows-only.
     }
+
+
+# ---------------------------------------------------------------------------
+# executable fallback: `python __spark_entry__.py [sf_dir] [query ...]`
+# prints one JSON line per query — {"query", "rows", "schema", "value_hash"}
+# (value_hash = sha256 over the column-name-sorted, row-sorted result) and
+# a final {"result": ...} summary line, so the driver (or a human) can
+# produce a correctness artifact even without importing this module.
+# ---------------------------------------------------------------------------
+
+
+def _result_digest(df: DataFrame) -> tuple[int, list[str], str]:
+    """(n_rows, sorted column names, sha256 of canonicalized values)."""
+    import datetime
+    import decimal
+    import hashlib
+    import math
+
+    def norm(v):
+        if isinstance(v, decimal.Decimal):
+            return f"dec:{v.normalize()}"
+        if isinstance(v, float):
+            return "f:nan" if math.isnan(v) else f"f:{round(v, 9)!r}"
+        if isinstance(v, datetime.datetime):
+            return f"ts:{v.replace(tzinfo=None).isoformat()}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(str(norm(x)) for x in v) + "]"
+        return repr(v)
+
+    cols = sorted(df.columns)
+    order = [df.columns.index(c) for c in cols]
+    rows = sorted(tuple(norm(r[i]) for i in order) for r in df.collect())
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return len(rows), cols, h.hexdigest()
+
+
+def _self_run(argv: list[str]) -> int:
+    import json
+    import traceback
+
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    only = set(argv[2:])
+    from crawler_spark.session import get_spark
+
+    spark = get_spark("entry_self_run", parallelism=8, shuffle_partitions=8)
+    oracles = oracle_sql()
+    n_fail = 0
+    for name, fn in queries().items():
+        if only and name not in only:
+            continue
+        try:
+            n, cols, digest = _result_digest(fn(spark, sf_dir))
+            print(json.dumps({
+                "query": name, "rows": n, "schema": cols, "value_hash": digest,
+                "oracle": name in oracles,
+            }), flush=True)
+        except Exception as e:  # keep sweeping; report the failure
+            n_fail += 1
+            print(json.dumps({
+                "query": name, "error": traceback.format_exception_only(type(e), e)[-1].strip()[:300],
+            }), flush=True)
+    print(json.dumps({"result": "FAIL" if n_fail else "OK", "failures": n_fail}), flush=True)
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_self_run(sys.argv))
