@@ -247,6 +247,11 @@ def main():
         # path; the exact all-pairs q_embed_near_pairs stays a tiny-sf
         # correctness oracle only
         queries[name] = run_noop(qs[name](spark, SF_DIR))
+        # release the operators' internal diamond persists (band/chunk/
+        # shingle tables) — they are per-query scratch, and letting them
+        # accumulate degrades every later measurement (executor memory
+        # pressure), which is not what the per-query numbers should show
+        spark.catalog.clearCache()
 
     total = time.time() - t0
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -40,16 +40,44 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(cleaned, r" +"), lambda t: t != "")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the token stream. Empty when the
-    doc has fewer than n tokens (sequence() would otherwise run backwards
-    — Spark descends when start > stop)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
+    array column. `toks` must be an attribute (a column computed by a
+    previous projection), never a raw `tokens(text)` expression: Spark
+    inlines whatever expression tree a higher-order-function lambda
+    references into the per-element evaluation, and HOFs are interpreted
+    (no codegen subexpression elimination) — an inlined tokenizer would
+    re-run regexp_replace+split once PER SHINGLE POSITION (measured ~50×
+    per-doc blowup at sf0.1). Empty when the doc has fewer than n tokens
+    (sequence() would otherwise run backwards — Spark descends when
+    start > stop)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the token stream — convenience
+    single-expression form for tiny fixtures/tests. Hot paths must use
+    the two-stage tokenize-then-`shingles_from_tokens` shape instead
+    (see that function's docstring for why)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Shared shingle-pipeline prefix: cheap token-count filter at scan
+    parallelism (pushdown-friendly — one tokenizer pass per doc), spread
+    across the cluster, then ONE materialized tokenization. Downstream
+    shingle/signature projections reference `_toks` as an attribute, so
+    the tokenizer runs exactly once per surviving doc."""
+    from crawler_spark.operators.skew import spread_small_input
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")).filter(
+        F.size(tokens(F.col("_t"))) >= n
+    )
+    return spread_small_input(src).select("id", tokens(F.col("_t")).alias("_toks"))
 
 
 # ---------------------------------------------------------------------------
@@ -104,20 +132,23 @@ def ngram_jaccard_pairs(
     `max_shingle_freq` drops shingles appearing in more than that many
     docs before the join (stop-shingle guard against quadratic hot keys).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # materialize the COMPACT per-doc shingle arrays, not the explosion:
+    # (a) the guarded plan is a diamond with four consumers (hot-list agg,
+    # post-filter sizes, both self-join sides) and each would otherwise
+    # re-run the tokenize + n-gram transform per document; (b) explode()
+    # makes Catalyst infer a `size(sh) > 0` filter, and WITHOUT a cache
+    # boundary that filter is pushed below the spread exchange with the
+    # whole shingle expression inlined — a single-task stage that
+    # recomputes everything (measured 23 s of the 31 s query at sf0.1).
+    # The persist is the pushdown barrier AND the diamond's share point;
+    # MEMORY_AND_DISK so a 100 TB corpus spills instead of recomputing.
+    from pyspark import StorageLevel
+
+    sh = _tokenized(df, id_col, text_col, n).select(
+        "id", shingles_from_tokens(F.col("_toks"), n).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     exploded = sh.select("id", F.explode("sh").alias("g"))
     if max_shingle_freq is not None:
-        # materialize the shingle explosion ONCE: the guarded plan is a
-        # diamond with four consumers (hot-list agg, post-filter sizes,
-        # both self-join sides) and each would otherwise re-run the regex
-        # tokenize + n-gram transform over every document — measured ~1.5×
-        # the whole query at sf0.1. MEMORY_AND_DISK so a 100 TB corpus
-        # spills instead of recomputing.
-        from pyspark import StorageLevel
-
-        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             exploded.groupBy("g").agg(F.count("*").alias("c"))
             .filter(F.col("c") > max_shingle_freq)
@@ -151,33 +182,64 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: Mersenne prime 2^31-1: the modulus of the affine MinHash permutation
+#: family. Keeping every operand below 2^31 bounds products below 2^62,
+#: so the arithmetic never overflows a long under ANSI mode.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def _minhash_coefficients(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the 2-universal affine family
+    h_i(x) = (a_i·x + b_i) mod p — the same construction Spark ML's
+    MinHashLSH uses (randCoefficients over a ~2^31 prime)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, n: int = 3
 ) -> DataFrame:
     """k-component MinHash signature per document, shuffle-free.
 
-    Each component i = min over shingles of xxhash64(shingle, seed=i) —
-    expressed as array_min(transform(...)): a pure projection the JVM
-    codegens; no explode, no aggregation shuffle. Empty shingle sets are
-    dropped (signature undefined).
-    """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    # hash each shingle STRING once; the k components then re-hash the
-    # 64-bit base value per seed (long-input xxhash64 is ~10× cheaper than
-    # re-hashing the string k times — same minwise-independence argument,
-    # the seed families are xxhash64(·, i) over an injective base map)
-    base = sh.select("id", F.size("sh").alias("n_sh"),
-                     F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+    Each shingle string is hashed ONCE (xxhash64 → reduced mod 2^31-1);
+    component i is then min over shingles of the affine 2-universal map
+    (a_i·h + b_i) mod p — one multiply-add per component instead of a
+    fresh seeded xxhash64 per (shingle, seed) pair (the measured
+    constant-factor hot spot: the 64 chained re-hashes were ~24 s of the
+    35 s sf0.1 pipeline). Everything stays a pure projection
+    (array_min ∘ transform, whole-stage codegen); no explode, no
+    aggregation shuffle. Empty shingle sets are dropped (signature
+    undefined).
 
-    def _hash_with_seed(seed: int):
+    The 31-bit reduction is the same trade Spark ML's MinHashLSH makes:
+    collisions between the ≤10^4 shingles of any compared pair happen
+    w.p. ~2^-31 per pair, negligible against the O(1/√k) estimator noise.
+    """
+    sh = _tokenized(df, id_col, text_col, n).select(
+        "id", shingles_from_tokens(F.col("_toks"), n).alias("sh")
+    )
+    base = sh.select(
+        "id", F.size("sh").alias("n_sh"),
+        F.transform(
+            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))
+        ).alias("hs"),
+    )
+
+    def _affine(a: int, b: int):
         # closure factory — a 2-param lambda (even with a default) would be
-        # given (element, index) by PySpark, silently replacing the seed
-        return lambda h: F.xxhash64(h, F.lit(seed))
+        # given (element, index) by PySpark, silently replacing the coeffs
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
 
     sig = F.array(
-        *[F.array_min(F.transform(F.col("hs"), _hash_with_seed(i))) for i in range(num_hashes)]
+        *[
+            F.array_min(F.transform(F.col("hs"), _affine(a, b)))
+            for a, b in _minhash_coefficients(num_hashes)
+        ]
     )
     return base.select("id", sig.alias("signature"), "n_sh")
 
@@ -189,20 +251,21 @@ def lsh_candidate_pairs(
     become candidate pairs. Shuffle key is the band hash — uniform, so no
     skew; bucket sizes are bounded by near-dup cluster sizes.
     """
+    # band hash = polynomial fold Σ x_j·R^j mod p over the band's signature
+    # components (all < 2^31 post-affine-family, so acc·R + x < 2^62 —
+    # ANSI-safe). Injective enough at 31 bits for bucketing, and pure long
+    # arithmetic instead of the old per-band string build + xxhash64.
+    _R = 1_000_003  # polynomial radix, coprime to MINHASH_PRIME
     bands = signatures.select(
         "id",
         "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
+                lambda b: F.aggregate(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: F.pmod(acc * F.lit(_R) + x, F.lit(MINHASH_PRIME)),
                 ),
             )
         ).alias("band_idx", "band_hash"),
@@ -271,9 +334,23 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     whose hash has bit b set; bit set in the fingerprint iff count*2 >
     n_tokens. Unweighted tokens (weight = term frequency via non-distinct
     token list)."""
-    toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    from crawler_spark.operators.skew import spread_small_input
+
+    # materialize the token-hash array as a real column BEFORE the 64
+    # per-bit votes: each vote is a HOF filter over the array, and a HOF
+    # re-evaluates whatever expression tree it references — an inlined
+    # `transform(tokens(text), xxhash64)` would re-tokenize + re-hash the
+    # whole doc once per bit (64× blowup, interpreted).
+    src = spread_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+    tok = src.select("id", tokens(F.col("_t")).alias("_toks"))
+    hdf = tok.select(
+        "id",
+        F.size("_toks").alias("n_tokens"),
+        F.transform("_toks", lambda t: F.xxhash64(t)).alias("_hs"),
+    )
+    hashes, n_tok = F.col("_hs"), F.col("n_tokens")
 
     def bit_flag(b: int):  # majority vote for bit b (python-int bit index)
         vote = F.size(F.filter(hashes, lambda h: F.getbit(h, F.lit(b)) == 1))
@@ -288,7 +365,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     # assemble as two 32-bit halves (shiftleft takes a literal count; the
     # halves keep every intermediate below 2^32 under ANSI arithmetic)
     fp = F.shiftleft(pack(list(range(32, 64))), 32).bitwiseOR(pack(list(range(0, 32))))
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"), n_tok.alias("n_tokens"))
+    return hdf.select("id", fp.alias("simhash"), "n_tokens")
 
 
 def simhash_near_duplicates(

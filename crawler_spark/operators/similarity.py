@@ -94,11 +94,23 @@ def pairwise_cosine_near_dups(
     just an ANN probe. Join key is (table, bucket): uniform by
     construction, so the shuffle has no hot keys; candidate pairs are
     deduped before the exact-cosine verify."""
+    from crawler_spark.operators.skew import spread_small_input
+
+    df = spread_small_input(df)
+    dim = _vec_dim(df, vec_col)
+    if dim is None:
+        return df.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine_sim"),
+        ).limit(0)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col),
         F.posexplode(
             F.array(*[
-                _lsh_bucket_expr(F.col(vec_col), n_planes, seed=t) for t in range(n_tables)
+                _lsh_bucket_expr_lit(
+                    F.col(vec_col), _plane_matrix(df.sparkSession, dim, n_planes, seed=t)
+                )
+                for t in range(n_tables)
             ])
         ).alias("table", "bucket"),
     )
@@ -141,8 +153,8 @@ def _plane_component(plane: int, dim_idx: Column, seed: int = 0) -> Column:
 
 def _lsh_bucket_expr(vec: Column, n_planes: int = 8, seed: int = 0) -> Column:
     """The n_planes-bit sign pattern of projections onto the deterministic
-    hyperplanes, as a pure column expression (composable: multi-table LSH
-    evaluates it once per table seed inside a single projection)."""
+    hyperplanes, as a pure column expression (works for any row-varying
+    dimension; the hot paths use the literal-matrix form below)."""
     vec_i = F.zip_with(
         vec,
         F.sequence(F.lit(0), F.size(vec) - 1),
@@ -163,9 +175,63 @@ def _lsh_bucket_expr(vec: Column, n_planes: int = 8, seed: int = 0) -> Column:
     return bucket
 
 
+_PLANE_CACHE: dict[tuple[int, int, int], list[list[float]]] = {}
+
+
+def _plane_matrix(spark, dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """[plane][dim] hyperplane components, evaluated ONCE with the same
+    Spark-side hash formula (`_plane_component` on a tiny range df) and
+    collected — so bucket values stay bit-identical to the expression
+    form while the per-row work drops to plain multiply-adds. Memoized:
+    one sub-second driver job per (dim, n_planes, seed) per process."""
+    key = (dim, n_planes, seed)
+    if key not in _PLANE_CACHE:
+        # cast to int: the expression form's dim index comes from
+        # sequence(0, size-1) which is int-typed, and xxhash64 is
+        # type-sensitive — a long index would hash differently
+        i = F.col("id").cast("int")
+        rows = (
+            spark.range(dim)
+            .select(*[_plane_component(p, i, seed).alias(f"p{p}") for p in range(n_planes)])
+            .collect()
+        )
+        _PLANE_CACHE[key] = [[r[f"p{p}"] for r in rows] for p in range(n_planes)]
+    return _PLANE_CACHE[key]
+
+
+def _lsh_bucket_expr_lit(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket against a literal plane matrix: per plane, one
+    zip_with dot product of the vector attribute with a literal array —
+    no per-element hashing, no re-evaluated subtrees (HOF lambdas only
+    reference `vec`, which callers pass as a materialized column)."""
+    bucket = F.lit(0).cast("long")
+    for p, comps in enumerate(planes):
+        arr = F.array(*[F.lit(float(c)) for c in comps])
+        proj = F.aggregate(
+            F.zip_with(vec, arr, lambda v, c: v.cast("double") * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None else None
+
+
 def with_lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding", seed: int = 0) -> DataFrame:
-    """Adds `bucket: long` — see _lsh_bucket_expr."""
-    return df.withColumn("bucket", _lsh_bucket_expr(F.col(vec_col), n_planes, seed))
+    """Adds `bucket: long` — literal-plane fast path when the dimension
+    is uniform (one tiny driver job, memoized); falls back to the generic
+    expression for empty inputs."""
+    dim = _vec_dim(df, vec_col)
+    if dim is None:
+        return df.withColumn("bucket", _lsh_bucket_expr(F.col(vec_col), n_planes, seed))
+    planes = _plane_matrix(df.sparkSession, dim, n_planes, seed)
+    return df.withColumn("bucket", _lsh_bucket_expr_lit(F.col(vec_col), planes))
 
 
 def lsh_ann_topk(

@@ -23,6 +23,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan produced fewer partitions
+    than the session's parallelism.
+
+    CPU-heavy per-row pipelines (shingling, MinHash signatures, media
+    decode) sit UPSTREAM of their first exchange, so they inherit the
+    scan's parallelism — and a small parquet file is one split, i.e. one
+    core doing all the work. This helper is a no-op whenever the input
+    already has ≥ min_partitions splits (at corpus scale a scan has
+    thousands), so it never coalesces and never adds a shuffle to a big
+    input; for the small-file case it trades one cheap shuffle of the raw
+    rows for full-cluster parallelism on the expensive projection.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_topk_per_group(
     df: DataFrame,
     group_cols: list[str],

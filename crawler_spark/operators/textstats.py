@@ -108,21 +108,37 @@ def winnowing_fingerprints(
     hashes, distinct. Robust local fingerprints for partial-overlap
     detection (the rolling-hash scheme; here the rolling hash is
     xxhash64 of the k-gram substring — same selection guarantees).
-    Pure array expressions; no explode until the final distinct set."""
-    empty_longs = F.array().cast("array<long>")
-    norm = F.concat_ws(" ", tokens(F.col(text_col)))
-    n = F.length(norm)
-    starts = F.sequence(F.lit(1), n - (k - 1))
-    kgram_hashes = F.when(n >= k, F.transform(starts, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))).otherwise(empty_longs)
-    win_starts = F.sequence(F.lit(1), F.size(kgram_hashes) - (window - 1))
-    mins = F.when(
-        F.size(kgram_hashes) >= window,
-        F.transform(win_starts, lambda i: F.array_min(F.slice(kgram_hashes, i, window))),
-    ).otherwise(kgram_hashes)  # short docs: keep all k-gram hashes
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    Pure array expressions; no explode until the final distinct set.
+
+    Staged as three projections (normalize → k-gram hashes → window
+    mins) so each HOF lambda references a MATERIALIZED column: a lambda
+    re-evaluates any expression tree it closes over per element, so a
+    single-projection form re-normalized the text once per character
+    position and re-hashed every k-gram once per window — O(n²)
+    interpreted work per doc (the measured pathology; see
+    dedup.shingles_from_tokens)."""
+    from crawler_spark.operators.skew import spread_small_input
+
+    src = spread_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     )
+    empty_longs = F.array().cast("array<long>")
+    ndf = src.select("id", F.concat_ws(" ", tokens(F.col("_t"))).alias("_norm"))
+    norm, n = F.col("_norm"), F.length(F.col("_norm"))
+    starts = F.sequence(F.lit(1), n - (k - 1))
+    kdf = ndf.select(
+        "id",
+        F.when(
+            n >= k, F.transform(starts, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+        ).otherwise(empty_longs).alias("_kh"),
+    )
+    kh = F.col("_kh")
+    win_starts = F.sequence(F.lit(1), F.size(kh) - (window - 1))
+    mins = F.when(
+        F.size(kh) >= window,
+        F.transform(win_starts, lambda i: F.array_min(F.slice(kh, i, window))),
+    ).otherwise(kh)  # short docs: keep all k-gram hashes
+    return kdf.select("id", F.array_sort(F.array_distinct(mins)).alias("fingerprints"))
 
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
