@@ -794,6 +794,96 @@ def q_top_paging(spark, sf_dir):
     )
 
 
+def q_top_slices(spark, sf_dir):
+    """P21 slice-based top providers (top.js:195-245 conda, 286-318
+    maven bundled CSV with its JS-truthy start quirk — start=0 is falsy
+    so only the header is skipped, 365-390 github org repos at the
+    latest commit, 404-452 debian package-map blocks needing all of
+    Architecture/Binary/Binary-Version). Page-based npm/crates/nuget
+    live in q_top_paging."""
+    from crawler_spark.data.top_seeds import (
+        conda_top_requests, debian_package_map_entries, debian_top_requests,
+        github_org_repo_requests, maven_csv_top_requests,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    rank = (F.col("p_partkey") - 1).alias("rank")
+    rk = F.col("rank")
+
+    conda_listed = p.select(rank).select(
+        "rank",
+        F.when(rk < 40, "linux-64").otherwise("noarch").alias("subdir"),
+        F.concat(F.lit("c"), (rk % 30).cast("string")).alias("name"),
+        F.concat(F.lit("1."), (rk % 4).cast("string"), F.lit(".0")).alias("version"),
+        F.concat(F.lit("py3"), (rk % 6).cast("string"), F.lit("_0")).alias("build"),
+    )
+    condasrc_listed = p.select(rank).select(
+        "rank",
+        F.concat(F.lit("s"), (rk % 50).cast("string")).alias("name"),
+        F.concat(F.lit("2."), (rk % 7).cast("string")).alias("version"),
+    )
+    csv_lines = p.select((F.col("p_partkey") - 1).alias("line_idx")).select(
+        "line_idx",
+        F.when(F.col("line_idx") == 0, 'rank,"groupId","artifactId"').otherwise(
+            F.concat(
+                F.col("line_idx").cast("string"),
+                F.lit(',"g'), (F.col("line_idx") % 9).cast("string"),
+                F.lit('","a'), (F.col("line_idx") % 13).cast("string"), F.lit('"'),
+            )
+        ).alias("raw_line"),
+    )
+    deb_kv = p.select((F.col("p_partkey") - 1).alias("block_idx")).select(
+        "block_idx",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit("Architecture").alias("key"),
+                        F.when(F.col("block_idx") % 3 == 0, "amd64").otherwise("all").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("Binary").alias("key"),
+                        F.concat(F.lit("b"), (F.col("block_idx") % 40).cast("string")).alias("value"),
+                    ),
+                    F.when(
+                        F.col("block_idx") % 7 != 3,
+                        F.struct(
+                            F.lit("Binary-Version").alias("key"),
+                            F.concat(F.lit("1."), (F.col("block_idx") % 6).cast("string")).alias("value"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("kv"),
+    ).select("block_idx", F.col("kv.key").alias("key"), F.col("kv.value").alias("value"))
+    pk = F.col("p_partkey")
+    repos = p.select(
+        F.concat(F.lit("org"), (pk % 5).cast("string")).alias("org"),
+        F.concat(F.lit("repo-"), pk.cast("string")).alias("repo"),
+    )
+    commits = p.filter(pk % 4 != 1).select(
+        F.concat(F.lit("org"), (pk % 5).cast("string")).alias("org"),
+        F.concat(F.lit("repo-"), pk.cast("string")).alias("repo"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("commit_idx"),
+    ).withColumn(
+        "sha", F.md5(F.concat(F.col("org"), F.col("repo"), F.col("commit_idx").cast("string")))
+    )
+
+    out = (
+        conda_top_requests(conda_listed, "conda-forge", 25, 95, mode="conda")
+        .unionByName(conda_top_requests(condasrc_listed, "conda-forge", 10, None, mode="condasrc"))
+        .unionByName(maven_csv_top_requests(csv_lines, "mavencentral", 0, 50))
+        .unionByName(maven_csv_top_requests(csv_lines, "mavengoogle", 5, 60))
+        .unionByName(debian_top_requests(debian_package_map_entries(deb_kv), 5, None))
+        .unionByName(
+            github_org_repo_requests(repos, commits)
+            .select(F.lit(None).cast("long").alias("rank"), "kind", "rtype", "url")
+        )
+    )
+    return out
+
+
 def _files_fixture(spark, sf_dir):
     """Synthetic per-doc file tree from documents: a code file, a
     rotating candidate for the interesting-name rules (two accepted
@@ -1056,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_fallback": q_source_fallback,
         "q_manifest_discovery": q_manifest_discovery,
         "q_top_paging": q_top_paging,
+        "q_top_slices": q_top_slices,
         "q_file_summary": q_file_summary,
         "q_interesting_files": q_interesting_files,
         "q_licensee_merge": q_licensee_merge,
@@ -1576,6 +1667,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT rank, 10 + (rank - 10) // 20 * 20, 'nuget',
                    'cd:/nuget/nuget/-/' || name
             FROM ranked WHERE rank >= 10 AND rank < 90
+        """,
+        # slice windows stated closed-form from the reference arithmetic:
+        # conda [25,95); condasrc [10, 10+1000); mavencentral start=0 is
+        # JS-falsy → lines [1,51) = ranks [0,50); mavengoogle [6,61) =
+        # ranks [5,60); debian defaults end=start+100 → emitted ranks
+        # [5,105); github latest commit = idx 0 ⇒ sha = md5(org‖repo‖'0')
+        "q_top_slices": """
+            WITH ranked AS (SELECT p_partkey - 1 AS rank FROM part),
+            conda AS (
+              SELECT rank, 'conda' AS kind, 'package' AS rtype,
+                     'cd:/conda/conda-forge/' ||
+                     CASE WHEN rank < 40 THEN 'linux-64' ELSE 'noarch' END ||
+                     '/c' || CAST(rank % 30 AS VARCHAR) ||
+                     '/1.' || CAST(rank % 4 AS VARCHAR) || '.0-py3' ||
+                     CAST(rank % 6 AS VARCHAR) || '_0/' AS url
+              FROM ranked WHERE rank >= 25 AND rank < 95),
+            condasrc AS (
+              SELECT rank, 'condasrc', 'source',
+                     'cd:/condasrc/conda-forge/-/s' || CAST(rank % 50 AS VARCHAR)
+                     || '/2.' || CAST(rank % 7 AS VARCHAR) || '/'
+              FROM ranked WHERE rank >= 10 AND rank < 1010),
+            mavenc AS (
+              SELECT rank, 'maven-mavencentral', 'package',
+                     'cd:/maven/mavencentral/g' || CAST((rank + 1) % 9 AS VARCHAR)
+                     || '/a' || CAST((rank + 1) % 13 AS VARCHAR)
+              FROM ranked WHERE rank >= 0 AND rank < 50),
+            maveng AS (
+              SELECT rank, 'maven-mavengoogle', 'package',
+                     'cd:/maven/mavengoogle/g' || CAST((rank + 1) % 9 AS VARCHAR)
+                     || '/a' || CAST((rank + 1) % 13 AS VARCHAR)
+              FROM ranked WHERE rank >= 5 AND rank < 60),
+            deb_complete AS (
+              SELECT rank AS block_idx,
+                     row_number() OVER (ORDER BY rank) - 1 AS emit_rank
+              FROM ranked WHERE rank % 7 <> 3),
+            debian AS (
+              SELECT emit_rank, 'debian', 'package',
+                     'cd:/deb/debian/-/b' || CAST(block_idx % 40 AS VARCHAR)
+                     || '/1.' || CAST(block_idx % 6 AS VARCHAR) || '_' ||
+                     CASE WHEN block_idx % 3 = 0 THEN 'amd64' ELSE 'all' END
+              FROM deb_complete WHERE emit_rank >= 5 AND emit_rank < 105),
+            github AS (
+              SELECT CAST(NULL AS BIGINT), 'github', 'source',
+                     'cd:/git/github/org' || CAST(p_partkey % 5 AS VARCHAR)
+                     || '/repo-' || CAST(p_partkey AS VARCHAR) || '/' ||
+                     md5('org' || CAST(p_partkey % 5 AS VARCHAR)
+                         || 'repo-' || CAST(p_partkey AS VARCHAR) || '0')
+              FROM part WHERE p_partkey % 4 <> 1)
+            SELECT rank, kind, rtype, url FROM conda
+            UNION ALL SELECT * FROM condasrc
+            UNION ALL SELECT * FROM mavenc
+            UNION ALL SELECT * FROM maveng
+            UNION ALL SELECT * FROM debian
+            UNION ALL SELECT * FROM github
         """,
         "q_file_summary": """
             WITH files AS (

@@ -133,7 +133,9 @@ def decode_media(df: DataFrame, decode_fn: str = "fake") -> DataFrame:
             if len(pdf):
                 yield _fake_decode_batch(pdf)
 
-    return df.mapInPandas(gen, DECODED_SCHEMA)
+    from crawler_spark.operators.skew import spread_small_input
+
+    return spread_small_input(df).mapInPandas(gen, DECODED_SCHEMA)
 
 
 def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:

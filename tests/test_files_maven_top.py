@@ -178,3 +178,78 @@ def test_publish_local(spark, tmp_path):
     # requeuable preserves attempt + backoff gate (request.createRequeuable)
     assert out["u2"]["attempt_count"] == 2 and out["u2"]["not_before_epoch"] == 5
     assert int(store.snapshot().meta["next_seq"]) == 16
+
+
+# -- slice-based top providers (top.js:195-245, 286-318, 365-390, 404-452) ----
+
+
+def test_maven_csv_start_zero_is_falsy(spark):
+    """top.js:289-290: `rawStart && rawStart >= 0` — 0 is falsy, so
+    start=0 and start=None both slice from line 1 (header skip only)."""
+    from crawler_spark.data.top_seeds import maven_csv_top_requests
+
+    lines = spark.createDataFrame(
+        [(i, 'rank,"groupId","artifactId"' if i == 0 else f'{i},"g{i}","a{i}"')
+         for i in range(12)],
+        "line_idx int, raw_line string",
+    )
+    for start in (0, None, -2):
+        got = maven_csv_top_requests(lines, "mavencentral", start, 5).collect()
+        assert sorted(r["rank"] for r in got) == [0, 1, 2, 3, 4]
+    # truthy start shifts by one for the header; end falsy → whole file
+    got = maven_csv_top_requests(lines, "mavengoogle", 3, None).collect()
+    assert sorted(r["rank"] for r in got) == list(range(3, 11))
+    assert all(r["url"] == f"cd:/maven/mavengoogle/g{r['rank']+1}/a{r['rank']+1}" for r in got)
+
+
+def test_debian_default_span_and_incomplete_blocks(spark):
+    """Debian top defaults end=start+100 (not 1000); blocks missing any
+    of Architecture/Binary/Binary-Version never emit a coordinate."""
+    from crawler_spark.data.top_seeds import (
+        debian_package_map_entries, debian_top_requests,
+    )
+
+    kv = []
+    for b in range(150):
+        kv.append((b, "Architecture", "amd64"))
+        kv.append((b, "Binary", f"b{b}"))
+        if b % 5 != 2:  # every 5th block lacks the version → skipped
+            kv.append((b, "Binary-Version", f"1.{b}"))
+    entries = debian_package_map_entries(
+        spark.createDataFrame(kv, "block_idx int, key string, value string")
+    )
+    # emitted ranks are dense over the COMPLETE blocks only
+    got = debian_top_requests(entries, None, None).collect()
+    assert sorted(r["rank"] for r in got) == list(range(0, 100))  # default span 100
+    by_rank = {r["rank"]: r["url"] for r in got}
+    assert by_rank[0] == "cd:/deb/debian/-/b0/1.0_amd64"
+    assert by_rank[2] == "cd:/deb/debian/-/b3/1.3_amd64"  # block 2 skipped
+
+
+def test_conda_slice_and_github_latest_commit(spark):
+    from crawler_spark.data.top_seeds import (
+        conda_top_requests, github_org_repo_requests,
+    )
+
+    listed = spark.createDataFrame(
+        [(r, "linux-64" if r < 5 else "noarch", f"n{r}", "1.0", "b0") for r in range(20)],
+        "rank int, subdir string, name string, version string, build string",
+    )
+    got = conda_top_requests(listed, "conda-forge", 3, 7, mode="conda").collect()
+    assert sorted(r["rank"] for r in got) == [3, 4, 5, 6]
+    assert {r["rtype"] for r in got} == {"package"}
+    assert any(r["url"] == "cd:/conda/conda-forge/linux-64/n4/1.0-b0/" for r in got)
+    assert any(r["url"] == "cd:/conda/conda-forge/noarch/n6/1.0-b0/" for r in got)
+
+    repos = spark.createDataFrame(
+        [("o", "r1"), ("o", "r2"), ("o", "r-empty")], "org string, repo string"
+    )
+    commits = spark.createDataFrame(
+        [("o", "r1", 0, "sha-r1-new"), ("o", "r1", 1, "sha-r1-old"),
+         ("o", "r2", 0, "sha-r2")],
+        "org string, repo string, commit_idx int, sha string",
+    )
+    got = {r["repo"]: r for r in github_org_repo_requests(repos, commits).collect()}
+    assert set(got) == {"r1", "r2"}  # commit-less repo dropped
+    assert got["r1"]["url"] == "cd:/git/github/o/r1/sha-r1-new"
+    assert all(r["rtype"] == "source" for r in got.values())
