@@ -957,6 +957,154 @@ def q_licensee_merge(spark, sf_dir):
     return licensee_merge(results)
 
 
+def q_scancode_files(spark, sf_dir):
+    """P17 scancode attachment selection (scancode.js:68-90): license
+    files via is_license_text; package manifests via package_data with
+    the directory manifest_path join rule (empty dir path omits the
+    slash). Synthetic result-file table shaped like the 32.1.0 golden
+    fixtures."""
+    from crawler_spark.operators.toolout import scancode_attachment_paths
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    entry = lambda mp: F.struct(F.lit(mp).cast("string").alias("manifest_path"))  # noqa: E731
+    empty = F.array().cast("array<struct<manifest_path:string>>")
+    files = p.select(
+        pk.alias("doc"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("LICENSE.md").alias("path"), F.lit("file").alias("ftype"),
+                    (pk % 2 == 0).alias("is_license_text"), empty.alias("package_data"),
+                ),
+                F.struct(
+                    F.lit("pkg").alias("path"), F.lit("directory").alias("ftype"),
+                    F.lit(False).alias("is_license_text"),
+                    F.when(pk % 3 == 0, F.array(entry("package.json"))).otherwise(empty).alias("package_data"),
+                ),
+                F.struct(
+                    F.lit("src/app.js").alias("path"), F.lit("file").alias("ftype"),
+                    F.lit(False).alias("is_license_text"),
+                    F.when(pk % 5 == 0, F.array(entry(None))).otherwise(empty).alias("package_data"),
+                ),
+                F.struct(
+                    F.lit("").alias("path"), F.lit("directory").alias("ftype"),
+                    F.lit(False).alias("is_license_text"),
+                    F.when(pk % 4 == 0, F.array(entry("setup.py"))).otherwise(empty).alias("package_data"),
+                ),
+            )
+        ).alias("f"),
+    ).select("doc", "f.path", "f.ftype", "f.is_license_text", "f.package_data")
+    return scancode_attachment_paths(files)
+
+
+def _reuse_spdx_fixture(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    text = F.concat(
+        F.lit("SPDXVersion: SPDX-2.1\nDocumentName: doc"), pk.cast("string"),
+        F.lit("\nCreator: Tool: reuse-0.15.0\n"),
+        F.lit("Relationship: SPDXRef-DOCUMENT DESCRIBES SPDXRef-1\n\n"),
+        F.lit("FileName: ./src/a"), (pk % 9).cast("string"), F.lit(".c\n"),
+        F.lit("SPDXID: SPDXRef-1\n"),
+        F.lit("FileCopyrightText: SPDX-FileCopyrightText: 2024 Org"), (pk % 5).cast("string"), F.lit("\n"),
+        F.lit("LicenseInfoInFile: MIT\n\n"),
+        F.lit("FileName: LICENSES/MIT.txt\n"),
+        F.lit("FileCopyrightText: <text>2023 Other"), (pk % 3).cast("string"), F.lit("</text>\n"),
+        F.lit("LicenseConcluded: MIT"),
+    )
+    return p.select(pk.alias("doc"), text.alias("spdx"))
+
+
+def q_reuse_spdx(spark, sf_dir):
+    """P19 reuse SPDX report parse (fsfeReuse.js:85-138): blank-line
+    sections, metadata vs per-file scope, concatenated secondary keys,
+    markup stripping, FileName './' and FileCopyrightText prefix
+    fixups; Relationship metadata dropped."""
+    from crawler_spark.operators.toolout import reuse_spdx_records
+
+    return reuse_spdx_records(_reuse_spdx_fixture(spark, sf_dir), "doc", "spdx")
+
+
+def q_reuse_licenses(spark, sf_dir):
+    """P19 LICENSES/ listing → (file_path, spdx_id) with the JS
+    substring(0, indexOf('.txt')) quirk: names without '.txt' get an
+    empty spdx_id (fsfeReuse.js:140-156)."""
+    from crawler_spark.operators.toolout import reuse_license_entries
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    listing = p.select(
+        pk.alias("doc"),
+        F.explode(
+            F.array(
+                F.lit("MIT.txt"),
+                F.concat(F.lit("Apache-2."), (pk % 2).cast("string"), F.lit(".txt")),
+                F.lit("README"),
+            )
+        ).alias("file_name"),
+    )
+    return reuse_license_entries(listing)
+
+
+def q_date_parse(spark, sf_dir):
+    """Release-date parse chain (lib/utils.js:70-97): ISO, date-only,
+    RFC 2822, HTTP-date, SQL, pom-properties custom format, plus the
+    [1950, now+30d] window. The oracle states the expected UTC
+    timestamps closed-form — fully independent of the parser."""
+    from crawler_spark.functions.dates import extract_date
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    ss = two(pk % 50 + 10)
+    raw = (
+        F.when(pk % 7 == 0, F.concat(F.lit("2023-0"), (pk % 8 + 1).cast("string"), F.lit("-15T10:30:00Z")))
+        .when(pk % 7 == 1, F.concat(F.lit("2021-03-0"), (pk % 9 + 1).cast("string")))
+        .when(pk % 7 == 2, F.concat(F.lit("Tue, 01 Nov 2011 10:"), ss, F.lit(":30 +0200")))
+        .when(pk % 7 == 3, F.concat(F.lit("Sun, 06 Nov 1994 08:49:"), ss, F.lit(" GMT")))
+        .when(pk % 7 == 4, F.concat(F.lit("2017-05-15 09:24:"), ss))
+        .when(pk % 7 == 5, F.concat(F.lit("Mon Mar 2 20:46:"), ss, F.lit(" GMT+01:00 2015")))
+        .otherwise(
+            F.when(pk % 3 == 0, "not-a-date")
+            .when(pk % 3 == 1, "1910-01-01")
+            .otherwise("2100-01-01T00:00:00")
+        )
+    )
+    src = p.select(pk.alias("doc"), raw.alias("raw"))
+    return src.select(
+        "doc", "raw", extract_date(F.col("raw"), "2026-08-17 00:00:00").alias("release_date")
+    )
+
+
+def q_source_urls(spark, sf_dir):
+    """SourceSpec.toUrl (sourceSpec.js:40-55): explicit url wins, then
+    git-clone / maven-repo URL builders per provider (gitCloner.js:92-95,
+    mavenBasedFetch.js:91-98 incl. the JS 'undefined' namespace quirk),
+    null for unroutable providers."""
+    from crawler_spark.functions.sourcespec import source_url
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    provider = (
+        F.when(pk % 5 == 0, "github").when(pk % 5 == 1, "gitlab")
+        .when(pk % 5 == 2, "mavencentral").when(pk % 5 == 3, "mavengoogle")
+        .otherwise("npmjs")
+    )
+    ns = F.when(
+        pk % 5 <= 1, F.concat(F.lit("owner"), (pk % 7).cast("string"))
+    ).otherwise(
+        F.when(pk % 11 != 0, F.concat(F.lit("com.org"), (pk % 3).cast("string")))
+    )
+    name = F.concat(F.lit("n"), (pk % 40).cast("string"))
+    revision = F.concat(F.lit("1."), (pk % 6).cast("string"))
+    override = F.when(pk % 13 == 0, F.concat(F.lit("https://explicit.example/x"), pk.cast("string")))
+    return p.select(
+        pk.alias("spec_id"),
+        source_url(provider, ns, name, revision, url=override).alias("url"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -1147,6 +1295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_manifest_discovery": q_manifest_discovery,
         "q_top_paging": q_top_paging,
         "q_top_slices": q_top_slices,
+        "q_scancode_files": q_scancode_files,
+        "q_reuse_spdx": q_reuse_spdx,
+        "q_reuse_licenses": q_reuse_licenses,
+        "q_date_parse": q_date_parse,
+        "q_source_urls": q_source_urls,
         "q_file_summary": q_file_summary,
         "q_interesting_files": q_interesting_files,
         "q_licensee_merge": q_licensee_merge,
@@ -1721,6 +1874,98 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM maveng
             UNION ALL SELECT * FROM debian
             UNION ALL SELECT * FROM github
+        """,
+        # expected attachments stated closed-form per the fixture mods
+        "q_scancode_files": """
+            SELECT p_partkey AS doc, 'license' AS kind, 'LICENSE.md' AS attach_path
+            FROM part WHERE p_partkey % 2 = 0
+            UNION ALL
+            SELECT p_partkey, 'package', 'pkg/package.json' FROM part WHERE p_partkey % 3 = 0
+            UNION ALL
+            SELECT p_partkey, 'package', 'src/app.js' FROM part WHERE p_partkey % 5 = 0
+            UNION ALL
+            SELECT p_partkey, 'package', 'setup.py' FROM part WHERE p_partkey % 4 = 0
+        """,
+        # the parse result stated closed-form: metadata (Relationship
+        # dropped, Creator+Tool concatenated) + two file sections with
+        # the './', copyright-prefix and <text> fixups applied
+        "q_reuse_spdx": """
+            WITH p AS (SELECT p_partkey AS doc FROM part)
+            SELECT doc, 0 AS section_idx, 'metadata' AS scope, 'SPDXVersion' AS key, 'SPDX-2.1' AS value FROM p
+            UNION ALL SELECT doc, 0, 'metadata', 'DocumentName', 'doc' || CAST(doc AS VARCHAR) FROM p
+            UNION ALL SELECT doc, 0, 'metadata', 'CreatorTool', 'reuse-0.15.0' FROM p
+            UNION ALL SELECT doc, 1, 'file', 'FileName', 'src/a' || CAST(doc % 9 AS VARCHAR) || '.c' FROM p
+            UNION ALL SELECT doc, 1, 'file', 'SPDXID', 'SPDXRef-1' FROM p
+            UNION ALL SELECT doc, 1, 'file', 'FileCopyrightText', '2024 Org' || CAST(doc % 5 AS VARCHAR) FROM p
+            UNION ALL SELECT doc, 1, 'file', 'LicenseInfoInFile', 'MIT' FROM p
+            UNION ALL SELECT doc, 2, 'file', 'FileName', 'LICENSES/MIT.txt' FROM p
+            UNION ALL SELECT doc, 2, 'file', 'FileCopyrightText', '2023 Other' || CAST(doc % 3 AS VARCHAR) FROM p
+            UNION ALL SELECT doc, 2, 'file', 'LicenseConcluded', 'MIT' FROM p
+        """,
+        "q_reuse_licenses": """
+            WITH p AS (SELECT p_partkey AS doc FROM part)
+            SELECT doc, 'LICENSES/MIT.txt' AS file_path, 'MIT' AS spdx_id FROM p
+            UNION ALL
+            SELECT doc, 'LICENSES/Apache-2.' || CAST(doc % 2 AS VARCHAR) || '.txt',
+                   'Apache-2.' || CAST(doc % 2 AS VARCHAR) FROM p
+            UNION ALL
+            SELECT doc, 'LICENSES/README', '' FROM p
+        """,
+        # expected UTC instants stated closed-form per branch — fully
+        # independent of the Spark parser chain
+        "q_date_parse": """
+            WITH p AS (SELECT p_partkey AS pk FROM part),
+            f AS (
+              SELECT pk,
+                     lpad(CAST(pk % 50 + 10 AS VARCHAR), 2, '0') AS ss,
+                     pk % 7 AS branch, pk % 8 + 1 AS mo, pk % 9 + 1 AS dy
+              FROM p)
+            SELECT pk AS doc,
+                   CASE branch
+                     WHEN 0 THEN '2023-0' || CAST(mo AS VARCHAR) || '-15T10:30:00Z'
+                     WHEN 1 THEN '2021-03-0' || CAST(dy AS VARCHAR)
+                     WHEN 2 THEN 'Tue, 01 Nov 2011 10:' || ss || ':30 +0200'
+                     WHEN 3 THEN 'Sun, 06 Nov 1994 08:49:' || ss || ' GMT'
+                     WHEN 4 THEN '2017-05-15 09:24:' || ss
+                     WHEN 5 THEN 'Mon Mar 2 20:46:' || ss || ' GMT+01:00 2015'
+                     ELSE CASE pk % 3 WHEN 0 THEN 'not-a-date'
+                                      WHEN 1 THEN '1910-01-01'
+                                      ELSE '2100-01-01T00:00:00' END
+                   END AS raw,
+                   CASE branch
+                     WHEN 0 THEN CAST('2023-0' || CAST(mo AS VARCHAR) || '-15 10:30:00' AS TIMESTAMP)
+                     WHEN 1 THEN CAST('2021-03-0' || CAST(dy AS VARCHAR) || ' 00:00:00' AS TIMESTAMP)
+                     WHEN 2 THEN CAST('2011-11-01 08:' || ss || ':30' AS TIMESTAMP)
+                     WHEN 3 THEN CAST('1994-11-06 08:49:' || ss AS TIMESTAMP)
+                     WHEN 4 THEN CAST('2017-05-15 09:24:' || ss AS TIMESTAMP)
+                     WHEN 5 THEN CAST('2015-03-02 19:46:' || ss AS TIMESTAMP)
+                     ELSE NULL
+                   END AS release_date
+            FROM f
+        """,
+        # expected URLs stated closed-form per provider branch
+        "q_source_urls": """
+            WITH p AS (SELECT p_partkey AS pk FROM part)
+            SELECT pk AS spec_id,
+              CASE
+                WHEN pk % 13 = 0 THEN 'https://explicit.example/x' || CAST(pk AS VARCHAR)
+                WHEN pk % 5 = 0 THEN 'https://github.com/owner' || CAST(pk % 7 AS VARCHAR)
+                                     || '/n' || CAST(pk % 40 AS VARCHAR) || '.git'
+                WHEN pk % 5 = 1 THEN 'https://gitlab.com/owner' || CAST(pk % 7 AS VARCHAR)
+                                     || '/n' || CAST(pk % 40 AS VARCHAR) || '.git'
+                WHEN pk % 5 = 2 THEN 'https://search.maven.org/remotecontent?filepath=' ||
+                     CASE WHEN pk % 11 = 0 THEN 'undefined'
+                          ELSE 'com/org' || CAST(pk % 3 AS VARCHAR) END
+                     || '/n' || CAST(pk % 40 AS VARCHAR) || '/1.' || CAST(pk % 6 AS VARCHAR)
+                     || '/n' || CAST(pk % 40 AS VARCHAR) || '-1.' || CAST(pk % 6 AS VARCHAR) || '.jar'
+                WHEN pk % 5 = 3 THEN 'https://dl.google.com/android/maven2/' ||
+                     CASE WHEN pk % 11 = 0 THEN 'undefined'
+                          ELSE 'com/org' || CAST(pk % 3 AS VARCHAR) END
+                     || '/n' || CAST(pk % 40 AS VARCHAR) || '/1.' || CAST(pk % 6 AS VARCHAR)
+                     || '/n' || CAST(pk % 40 AS VARCHAR) || '-1.' || CAST(pk % 6 AS VARCHAR) || '.jar'
+                ELSE NULL
+              END AS url
+            FROM p
         """,
         "q_file_summary": """
             WITH files AS (

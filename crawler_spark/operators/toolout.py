@@ -1,0 +1,142 @@
+"""Tool-output document semantics (P17 scancode, P19 reuse) — the
+relational meaning the crawler extracts FROM tool results, modeled over
+synthetic result tables shaped like the reference's golden fixtures
+(test/fixtures/scancode/32.1.0/*.json, fsfeReuse/0.15.0/*).
+
+The tool binaries are not run (sandbox); what IS modeled, exactly:
+
+* scancode: which result files become attachments
+  (providers/process/scancode.js:68-90 — is_license_text files plus
+  package_data manifests, with the directory manifest_path join rule)
+  and the real-vs-benign scan_errors triage (scancode.js:99-117).
+* reuse: the SPDX report parse (providers/process/fsfeReuse.js:85-138 —
+  blank-line sections, first section = metadata, `Key: [Secondary: ]
+  value` attribute lines with tag stripping, FileName './' and
+  FileCopyrightText prefix fixups) and the LICENSES dir listing with its
+  `indexOf('.txt')` spdxId quirk (fsfeReuse.js:140-156).
+
+All pure column expressions / explodes — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scancode.js:104-109 — scan_errors matching any of these are benign
+_BENIGN_ERROR_PATTERNS = (
+    "ERROR: Processing interrupted: timeout after",
+    "ValueError:",
+    "package.json",
+    "UnicodeDecodeError",
+)
+
+
+def scancode_attachment_paths(files: DataFrame) -> DataFrame:
+    """Attachment paths from a scancode result-file table
+    (scancode.js:68-90). Input columns: doc, path, ftype,
+    is_license_text: boolean, package_data: array<struct<manifest_path:
+    string>>.
+
+    license rows: every file flagged is_license_text. package rows: one
+    per package_data entry — `{path}/{manifest_path}` when the file is a
+    directory carrying a manifest subpath (empty dir path omits the
+    slash), else the file's own path. Distinct per (doc, kind, path):
+    the reference attaches by path, which is idempotent per document.
+    """
+    licenses = files.filter(F.col("is_license_text")).select(
+        "doc", F.lit("license").alias("kind"), F.col("path").alias("attach_path")
+    )
+    pkg = files.select(
+        "doc", "path", "ftype", F.explode("package_data").alias("entry")
+    ).select(
+        "doc",
+        F.lit("package").alias("kind"),
+        F.when(
+            (F.col("ftype") == "directory") & F.col("entry.manifest_path").isNotNull(),
+            F.concat(
+                F.when(F.col("path") != "", F.concat(F.col("path"), F.lit("/"))).otherwise(F.lit("")),
+                F.col("entry.manifest_path"),
+            ),
+        ).otherwise(F.col("path")).alias("attach_path"),
+    )
+    return licenses.unionByName(pkg).distinct()
+
+
+def scancode_has_real_errors(files: DataFrame) -> DataFrame:
+    """Per-doc triage of scan_errors (scancode.js:99-117): an error is
+    REAL unless it contains one of the four known-benign markers; a doc
+    with any real error is marked dead. Input columns: doc, scan_errors:
+    array<string>. Output: (doc, has_real_errors)."""
+    is_benign = lambda e: (  # noqa: E731 — single-expression predicate
+        F.contains(e, F.lit(_BENIGN_ERROR_PATTERNS[0]))
+        | F.contains(e, F.lit(_BENIGN_ERROR_PATTERNS[1]))
+        | F.contains(e, F.lit(_BENIGN_ERROR_PATTERNS[2]))
+        | F.contains(e, F.lit(_BENIGN_ERROR_PATTERNS[3]))
+    )
+    real = F.exists(F.col("scan_errors"), lambda e: ~is_benign(e))
+    return files.groupBy("doc").agg(
+        F.max(F.coalesce(real, F.lit(False))).alias("has_real_errors")
+    )
+
+
+# fsfeReuse.js:101 — ((first): )((second): )? value
+_SPDX_ATTR_RE = r"(\w+):\s(?:(\w+):\s)?(.+)"
+
+
+def reuse_spdx_records(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Parse REUSE `spdx` output into long-format records
+    (fsfeReuse.js:85-138). Sections split on blank lines; section 0 is
+    document metadata (Relationship lines dropped), later sections are
+    one file each. Attribute key = first key + optional secondary key
+    concatenated; values strip `<...>` markup; FileName drops a leading
+    './'; FileCopyrightText drops the 'SPDX-FileCopyrightText: ' prefix.
+
+    Output: (doc, section_idx, scope ∈ {metadata, file}, key, value).
+    """
+    sections = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\n\n")).alias("section_idx", "section"),
+    )
+    lines = sections.select(
+        "doc", "section_idx", F.explode(F.split(F.col("section"), r"\n")).alias("line")
+    )
+    first = F.regexp_extract(F.col("line"), _SPDX_ATTR_RE, 1)
+    second = F.regexp_extract(F.col("line"), _SPDX_ATTR_RE, 2)
+    raw_value = F.regexp_replace(
+        F.regexp_extract(F.col("line"), _SPDX_ATTR_RE, 3), r"<\/?[^>]+>", ""
+    )
+    key = F.concat(first, second)  # secondary '' concats away
+    value = (
+        F.when(
+            (key == "FileName") & raw_value.startswith("./"), F.substring(raw_value, 3, 1 << 20)
+        )
+        .when(
+            (key == "FileCopyrightText") & raw_value.startswith("SPDX-FileCopyrightText: "),
+            F.substring(raw_value, 25, 1 << 20),
+        )
+        .otherwise(raw_value)
+    )
+    parsed = lines.filter(first != "").select(
+        "doc", "section_idx",
+        F.when(F.col("section_idx") == 0, "metadata").otherwise("file").alias("scope"),
+        key.alias("key"), value.alias("value"),
+    )
+    # metadata ignores Relationship on purpose (fsfeReuse.js:118-123);
+    # file sections keep every attribute
+    return parsed.filter(~((F.col("scope") == "metadata") & (F.col("key") == "Relationship")))
+
+
+def reuse_license_entries(listing: DataFrame) -> DataFrame:
+    """LICENSES/ dir listing → license records (fsfeReuse.js:140-156):
+    filePath = 'LICENSES/<file>', spdxId = file.substring(0,
+    indexOf('.txt')) — which is '' when the name has no '.txt' (JS
+    substring(0, -1) quirk), and truncates at the FIRST occurrence.
+    Input columns: doc, file_name."""
+    idx = F.instr(F.col("file_name"), ".txt")  # 1-based; 0 = absent
+    spdx_id = F.when(idx > 0, F.substring(F.col("file_name"), 1, idx - 1)).otherwise(F.lit(""))
+    return listing.select(
+        "doc",
+        F.concat(F.lit("LICENSES/"), F.col("file_name")).alias("file_path"),
+        spdx_id.alias("spdx_id"),
+    )

@@ -1,0 +1,143 @@
+"""Tool-output semantics (P17/P19), date parse chain, and SourceSpec URL
+rendering — fixture-level unit tests; the entry queries carry the
+closed-form DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.dates import extract_date
+from crawler_spark.functions.sourcespec import source_url
+from crawler_spark.operators.toolout import (
+    reuse_license_entries,
+    reuse_spdx_records,
+    scancode_attachment_paths,
+    scancode_has_real_errors,
+)
+
+
+def test_scancode_attachments_rules(spark):
+    files = spark.createDataFrame(
+        [
+            (1, "LICENSE", "file", True, []),
+            (1, "pkg", "directory", False, [("package.json",)]),
+            (1, "", "directory", False, [("setup.py",)]),  # empty dir path: no slash
+            (1, "src/a.js", "file", False, [(None,)]),  # non-manifest entry → own path
+            (1, "dir2", "directory", False, [(None,)]),  # dir WITHOUT manifest_path → own path
+            (2, "x", "file", False, []),
+        ],
+        "doc int, path string, ftype string, is_license_text boolean, "
+        "package_data array<struct<manifest_path:string>>",
+    )
+    got = {(r["doc"], r["kind"], r["attach_path"]) for r in scancode_attachment_paths(files).collect()}
+    assert got == {
+        (1, "license", "LICENSE"),
+        (1, "package", "pkg/package.json"),
+        (1, "package", "setup.py"),
+        (1, "package", "src/a.js"),
+        (1, "package", "dir2"),
+    }
+
+
+def test_scancode_error_triage(spark):
+    files = spark.createDataFrame(
+        [
+            (1, ["ERROR: Processing interrupted: timeout after 120s"]),
+            (1, ["ValueError: boom", "UnicodeDecodeError: bad byte"]),
+            (2, ["Something exploded entirely"]),
+            (3, []),
+            (4, None),
+        ],
+        "doc int, scan_errors array<string>",
+    )
+    got = {r["doc"]: r["has_real_errors"] for r in scancode_has_real_errors(files).collect()}
+    assert got == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_reuse_spdx_fixups(spark):
+    text = (
+        "SPDXVersion: SPDX-2.1\n"
+        "Creator: Tool: reuse-0.15.0\n"
+        "Relationship: SPDXRef-DOCUMENT DESCRIBES SPDXRef-a\n"
+        "\n"
+        "FileName: ./a.c\n"
+        "FileCopyrightText: SPDX-FileCopyrightText: 2024 Me\n"
+        "\n"
+        "FileName: b.c\n"
+        "FileCopyrightText: <text>2023 You</text>"
+    )
+    df = spark.createDataFrame([(7, text)], "doc int, spdx string")
+    rows = reuse_spdx_records(df, "doc", "spdx").collect()
+    recs = {(r["section_idx"], r["key"]): (r["scope"], r["value"]) for r in rows}
+    assert recs[(0, "SPDXVersion")] == ("metadata", "SPDX-2.1")
+    assert recs[(0, "CreatorTool")] == ("metadata", "reuse-0.15.0")  # secondary key concat
+    assert (0, "Relationship") not in recs  # dropped
+    assert recs[(1, "FileName")] == ("file", "a.c")  # './' stripped
+    assert recs[(1, "FileCopyrightText")] == ("file", "2024 Me")  # prefix stripped
+    assert recs[(2, "FileName")] == ("file", "b.c")
+    assert recs[(2, "FileCopyrightText")] == ("file", "2023 You")  # markup stripped
+
+
+def test_reuse_license_spdxid_quirk(spark):
+    listing = spark.createDataFrame(
+        [(1, "MIT.txt"), (1, "GPL-3.0.txt.bak"), (1, "README")],
+        "doc int, file_name string",
+    )
+    got = {r["file_path"]: r["spdx_id"] for r in reuse_license_entries(listing).collect()}
+    assert got == {
+        "LICENSES/MIT.txt": "MIT",
+        "LICENSES/GPL-3.0.txt.bak": "GPL-3.0",  # FIRST '.txt' occurrence
+        "LICENSES/README": "",  # indexOf -1 → substring(0,-1) → ''
+    }
+
+
+def test_extract_date_branches_and_window(spark):
+    cases = [
+        ("2023-04-15T10:30:00Z", "2023-04-15 10:30:00"),
+        ("2021-03-05", "2021-03-05 00:00:00"),
+        ("Tue, 01 Nov 2011 10:15:30 +0200", "2011-11-01 08:15:30"),
+        ("Sun, 06 Nov 1994 08:49:37 GMT", "1994-11-06 08:49:37"),
+        ("2017-05-15 09:24:11", "2017-05-15 09:24:11"),
+        ("Mon Mar 2 20:46:54 GMT+01:00 2015", "2015-03-02 19:46:54"),
+        ("not-a-date", None),
+        ("1910-01-01", None),  # before 1950 window start
+        ("2100-01-01T00:00:00", None),  # beyond now+30d
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i int, raw string")
+    got = {
+        r["i"]: r["d"] and r["d"].strftime("%Y-%m-%d %H:%M:%S")
+        for r in df.select("i", extract_date(F.col("raw"), "2026-08-17 00:00:00").alias("d")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])
+
+
+def test_source_url_builders(spark):
+    rows = [
+        # provider, ns, name, rev, override
+        (0, "github", "octo.cat", "repo", "1.0", None),
+        (1, "gitlab", "grp", "proj", None, None),
+        (2, "mavencentral", "com.example.lib", "art", "2.3", None),
+        (3, "mavencentral", None, "art", "2.3", None),  # JS 'undefined' quirk
+        (4, "mavengoogle", "androidx.core", "core", "1.1", None),
+        (5, "npmjs", None, "left-pad", "1.0", None),  # unroutable → null
+        (6, "github", "o", "n", "1", "https://given.example/override"),
+    ]
+    df = spark.createDataFrame(rows, "i int, provider string, ns string, name string, rev string, override string")
+    got = {
+        r["i"]: r["u"]
+        for r in df.select(
+            "i",
+            source_url(
+                F.col("provider"), F.col("ns"), F.col("name"), F.col("rev"), url=F.col("override")
+            ).alias("u"),
+        ).collect()
+    }
+    assert got[0] == "https://github.com/octo/cat/repo.git"  # dots → slashes
+    assert got[1] == "https://gitlab.com/grp/proj.git"
+    assert got[2] == "https://search.maven.org/remotecontent?filepath=com/example/lib/art/2.3/art-2.3.jar"
+    assert got[3] == "https://search.maven.org/remotecontent?filepath=undefined/art/2.3/art-2.3.jar"
+    assert got[4] == "https://dl.google.com/android/maven2/androidx/core/core/1.1/core-1.1.jar"
+    assert got[5] is None
+    assert got[6] == "https://given.example/override"
