@@ -228,7 +228,11 @@ def main():
     queries: dict[str, float] = {}
 
     t0 = time.time()
-    table = f"/tmp/frontier_bench_{FRONTIER_N}"
+    # the standing frontier table lives on tmpfs: this VM's virtual disk
+    # has wildly variable throughput that poisons the scan timings, and
+    # the epoch metric is about scheduling compute, not disk IO
+    bench_dir = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    table = f"{bench_dir}/frontier_bench_{FRONTIER_N}"
     if not os.path.exists(os.path.join(table, "_SUCCESS")):
         materialize_frontier(spark, FRONTIER_N, table)  # untimed setup: the standing frontier table
     queries["frontier_epoch"] = run_noop(
