@@ -38,6 +38,11 @@ REQUEUE_DELAY_EPOCHS = 1
 # (/root/reference/providers/fetch/dispatcher.js:77-114).
 FETCH_CACHE_TTL_EPOCHS = 8
 
+# Deterministic 'now' for the release-date validity window
+# (lib/utils.js:94-96 uses wall-clock now + 30 days; a deterministic
+# engine pins it so runs, parity checks and oracles are reproducible).
+CRAWL_NOW = "2026-01-01 00:00:00"
+
 # Default per-host politeness budget per epoch (north-rule addition; the
 # reference gates with nextRequestTime delays, crawler.js:92-105 — a per-host
 # fetch budget is the batch-equivalent politeness control).

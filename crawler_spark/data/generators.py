@@ -79,6 +79,10 @@ REGISTRY_SCHEMA = T.StructType(
         # .js:23-37) — used when source_* is not pre-resolved; the engine
         # resolves them against the tags dim at construction
         T.StructField("candidate_urls", T.ArrayType(T.StringType())),
+        # registry-published release date, in one of the wire formats the
+        # reference's extractDate chain handles (lib/utils.js:70-97) —
+        # parsed into documents.release_date by the engine
+        T.StructField("release_date_raw", T.StringType()),
         T.StructField("payload_spans", SPANS_TYPE),
     ]
 )
@@ -138,6 +142,37 @@ def _spans_py(doc_key: str, rng: random.Random) -> list[dict]:
     return spans
 
 
+def _release_date_raw_py(rng: random.Random) -> str | None:
+    """Deterministic registry release-date string in one of the wire
+    formats the reference's extractDate chain handles (lib/utils.js:70-97):
+    ISO 8601 (Z / offset), RFC 2822, HTTP-date, SQL timestamp, the
+    pom-properties custom form — plus the failure modes the chain must
+    null out (garbage, out-of-window future, pre-1950, absent)."""
+    import datetime as dt
+
+    base = dt.datetime(1995, 1, 1) + dt.timedelta(seconds=rng.randrange(30 * 365 * 86400))
+    kind = rng.randrange(10)
+    if kind == 0:
+        return base.strftime("%Y-%m-%dT%H:%M:%SZ")  # ISO UTC
+    if kind == 1:
+        return base.strftime("%Y-%m-%dT%H:%M:%S") + "+05:30"  # ISO offset
+    if kind == 2:
+        return base.strftime("%a, %d %b %Y %H:%M:%S") + " +0000"  # RFC 2822
+    if kind == 3:
+        return base.strftime("%a, %d %b %Y %H:%M:%S GMT")  # HTTP-date
+    if kind == 4:
+        return base.strftime("%Y-%m-%d %H:%M:%S")  # SQL
+    if kind == 5:  # pom properties: 'Mon Mar 2 20:46:54 GMT+01:00 2015'
+        return f"{base.strftime('%a %b')} {base.day} {base.strftime('%H:%M:%S')} GMT+01:00 {base.year}"
+    if kind == 6:
+        return "unknown"  # unparseable → null
+    if kind == 7:
+        return "2099-01-01T00:00:00Z"  # > now+30d → null (utils.js:94-96)
+    if kind == 8:
+        return "1925-06-01T00:00:00Z"  # < 1950 → null (utils.js:91-93)
+    return None  # registry publishes no date
+
+
 def gen_registry_py(n_names: int = 50, seed: int = 42) -> list[dict]:
     """Per-provider version catalog rows; deterministic under `seed`."""
     rng = random.Random(seed)
@@ -179,6 +214,7 @@ def gen_registry_py(n_names: int = 50, seed: int = 42) -> list[dict]:
                     "source_namespace": (namespace or name) if has_source else None,
                     "source_name": name if has_source else None,
                     "source_revision": _sha(doc_key)[:40] if has_source else None,
+                    "release_date_raw": _release_date_raw_py(rng),
                     "payload_spans": _spans_py(doc_key, rng),
                 }
             )
@@ -224,7 +260,7 @@ def gen_robots_py(seed: int = 42) -> list[dict]:
 def registry_df(spark: SparkSession, rows: list[dict] | None = None, **kw) -> DataFrame:
     rows = rows if rows is not None else gen_registry_py(**kw)
     # etag / candidate_urls optional in hand-built fixtures
-    rows = [{"etag": None, "candidate_urls": None, **r} for r in rows]
+    rows = [{"etag": None, "candidate_urls": None, "release_date_raw": None, **r} for r in rows]
     return spark.createDataFrame(rows, REGISTRY_SCHEMA)
 
 

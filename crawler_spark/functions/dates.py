@@ -43,3 +43,48 @@ def extract_date(raw: Column, now: Column | str) -> Column:
         parsed <= now_ts + F.expr("INTERVAL 30 DAYS")
     )
     return F.when(in_window, parsed)
+
+
+def extract_date_py(raw: str | None, now: "datetime.datetime") -> "datetime.datetime | None":
+    """Pure-Python twin of `extract_date` for the parity simulator: same
+    parse order, same fixups, same window; returns a naive UTC datetime.
+    The engine parity tests assert the Spark chain and this one agree on
+    every generated registry date."""
+    import datetime as dt
+    import email.utils
+
+    if not raw:
+        return None
+
+    def norm(d: dt.datetime) -> dt.datetime:
+        if d.tzinfo is not None:
+            d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return d
+
+    import re as _re
+
+    # Spark's RFC-2822 branch only sees 'd MMM yyyy …' after the comma-form
+    # weekday strip, so an asctime/pom-shaped 'Mon Mar 2 …' can never land
+    # there; Python's email.utils is leniently asctime-tolerant (it would
+    # swallow the pom string and drop its GMT+hh:mm offset), so gate it off
+    # that shape to keep the twins aligned.
+    asctime_shape = bool(_re.match(r"^[A-Za-z]{3}\s+[A-Za-z]", raw))
+    parsed: dt.datetime | None = None
+    for attempt in (
+        lambda: dt.datetime.fromisoformat(raw.replace("Z", "+00:00")),
+        lambda: (None if asctime_shape else email.utils.parsedate_to_datetime(raw)),  # RFC 2822
+        lambda: dt.datetime.strptime(raw, "%a, %d %b %Y %H:%M:%S GMT"),  # HTTP
+        lambda: dt.datetime.strptime(raw, "%Y-%m-%d %H:%M:%S"),  # SQL
+        # pom properties: 'Mon Mar 2 20:46:54 GMT+01:00 2015'
+        lambda: dt.datetime.strptime(raw.replace("GMT", ""), "%a %b %d %H:%M:%S %z %Y"),
+    ):
+        try:
+            parsed = norm(attempt())
+            break
+        except (ValueError, TypeError, IndexError, AttributeError):
+            continue
+    if parsed is None:
+        return None
+    if parsed < dt.datetime(1950, 1, 1) or parsed > now + dt.timedelta(days=30):
+        return None
+    return parsed

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.config import (
+    CRAWL_NOW,
     DEFAULT_BATCH_BUDGET,
     DEFAULT_HOST_BUDGET,
     DEFAULT_PROCESSOR_VERSIONS,
@@ -57,6 +58,7 @@ from crawler_spark.config import (
     POP_RNG_SEED,
     REQUEUE_DELAY_EPOCHS,
 )
+from crawler_spark.functions.dates import extract_date
 from crawler_spark.data.visitor_map import (
     PACKAGE_SPEC_TYPES,
     SOURCE_SPEC_TYPES,
@@ -427,7 +429,7 @@ class CrawlEngine:
                 [],
                 "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
                 "doc_type string, epoch int, etag string, fetched_at_epoch int, "
-                "processed_at_epoch int, version int",
+                "processed_at_epoch int, version int, release_date timestamp",
             )
         outcomes = self._fetch_and_route(scheduled, epoch, docs_now)
         outcomes = outcomes.cache()
@@ -645,7 +647,7 @@ class CrawlEngine:
             docs_now.select(
                 "doc_id",
                 F.struct("epoch", "spans", "etag", "fetched_at_epoch",
-                         "processed_at_epoch", "version").alias("_d"),
+                         "processed_at_epoch", "version", "release_date").alias("_d"),
             )
             .groupBy("doc_id")
             .agg(F.max_by(F.col("_d"), F.col("_d")["epoch"]).alias("_d"))
@@ -657,6 +659,7 @@ class CrawlEngine:
             F.col("_d.fetched_at_epoch").alias("_stored_fetched"),
             F.col("_d.processed_at_epoch").alias("_stored_processed"),
             F.col("_d.version").alias("_stored_version"),
+            F.col("_d.release_date").alias("_stored_release_date"),
         )
         cur_version = self._cur_version_col()
         ttl = F.lit(self.fetch_cache_ttl)
@@ -677,6 +680,7 @@ class CrawlEngine:
                 "name",
                 F.col("version").alias("resolved_revision"),
                 F.col("etag").alias("_reg_etag"),
+                F.col("release_date_raw").alias("_reg_rd_raw"),
                 "payload_spans", "source_type", "source_provider",
                 "source_namespace", "source_name", "source_revision",
             )
@@ -734,6 +738,12 @@ class CrawlEngine:
             "source_name", "source_revision",
             F.when(served, F.col("_stored_etag")).otherwise(F.col("_reg_etag")).alias("doc_etag"),
             F.when(served, F.col("_stored_fetched")).otherwise(F.lit(epoch)).cast("int").alias("doc_fetched_at"),
+            # releaseDate rides the fetch result (scancode.js:37-42 carries
+            # document.releaseDate into _metadata): a served stored doc
+            # keeps its stamp; an origin fetch parses the registry's raw
+            # date string through the utils.js extractDate chain
+            F.when(served, F.col("_stored_release_date"))
+            .otherwise(extract_date(F.col("_reg_rd_raw"), CRAWL_NOW)).alias("doc_release_date"),
             cur_version.alias("cur_version"),
         )
 
@@ -791,6 +801,7 @@ class CrawlEngine:
             *nulls,
             F.lit(None).cast("string").alias("doc_etag"),
             F.lit(epoch).cast("int").alias("doc_fetched_at"),
+            F.lit(None).cast("timestamp").alias("doc_release_date"),
             cur_version.alias("cur_version"),
         )
 
@@ -805,13 +816,14 @@ class CrawlEngine:
             *nulls,
             F.lit(None).cast("string").alias("doc_etag"),
             F.lit(epoch).cast("int").alias("doc_fetched_at"),
+            F.lit(None).cast("timestamp").alias("doc_release_date"),
             cur_version.alias("cur_version"),
         )
         return fetched.unionByName(terminated).unionByName(structured).select(
             *scheduled.columns, "outcome", "origin", "resolved_rev", "resolved_url",
             "payload_spans", "source_type",
             "source_provider", "source_namespace", "source_name", "source_revision",
-            "doc_etag", "doc_fetched_at", "cur_version",
+            "doc_etag", "doc_fetched_at", "doc_release_date", "cur_version",
         )
 
     # ------------------------------------------------------------------
@@ -829,6 +841,7 @@ class CrawlEngine:
             F.col("doc_fetched_at").alias("fetched_at_epoch"),
             F.lit(epoch).cast("int").alias("processed_at_epoch"),
             F.col("cur_version").alias("version"),
+            F.col("doc_release_date").alias("release_date"),
         )
         tool = processed.filter(F.col("type").isin(*TERMINAL_TYPES))
         tool_docs = tool.select(
@@ -850,6 +863,10 @@ class CrawlEngine:
             F.lit(epoch).cast("int").alias("fetched_at_epoch"),
             F.lit(epoch).cast("int").alias("processed_at_epoch"),
             F.col("cur_version").alias("version"),
+            # tool docs carry no release date in this model (the payload
+            # is a simulated tool landing; the subject's date lives on the
+            # package doc)
+            F.lit(None).cast("timestamp").alias("release_date"),
         )
         return fetched_docs.unionByName(tool_docs)
 

@@ -28,6 +28,7 @@ import re
 from dataclasses import dataclass, field
 
 from crawler_spark.config import (
+    CRAWL_NOW,
     DEFAULT_BATCH_BUDGET,
     DEFAULT_HOST_BUDGET,
     DEFAULT_PROCESSOR_VERSIONS,
@@ -46,7 +47,12 @@ from crawler_spark.data.visitor_map import (
     TRAVERSABLE_TYPES,
     visitor_edges_py,
 )
+from crawler_spark.functions.dates import extract_date_py
 from crawler_spark.poporder import epoch_rng, pop_schedule
+
+import datetime as _dt
+
+_CRAWL_NOW_DT = _dt.datetime.fromisoformat(CRAWL_NOW)
 
 _COORD_RE = re.compile(r".*:/*([^/]+)/([^/]+)/([^/]+)/([^/]+)/?([^/]+)?(/tool/.+)?")
 _SEMVER_RE = re.compile(r"^v?(\d+)(?:\.(\d+))?(?:\.(\d+))?(?:-([0-9A-Za-z.\-]+))?(?:\+.*)?$")
@@ -431,6 +437,7 @@ class CrawlSimulator:
                                             "spans": stored["spans"], "etag": stored.get("etag"),
                                             "fetched_at": stored["fetched_at"],
                                             "processed_at": epoch, "version": cur_version,
+                                            "release_date": stored.get("release_date"),
                                         }))
             if stored is not None and family == "originOnly" and stored["fetched_at"] + ttl > epoch:
                 # dispatcher fetched-cache hit (dispatcher.js:77-88): the
@@ -442,6 +449,7 @@ class CrawlSimulator:
                                         "spans": stored["spans"], "etag": stored.get("etag"),
                                         "fetched_at": stored["fetched_at"],
                                         "processed_at": epoch, "version": cur_version,
+                                        "release_date": stored.get("release_date"),
                                     }))
             if storage_only:
                 return "Skipped", "origin"  # storageOnly miss → markSkip (dispatcher shouldFetchMissing=null)
@@ -477,6 +485,11 @@ class CrawlSimulator:
                                     "spans": reg_row["payload_spans"], "etag": reg_row.get("etag"),
                                     "fetched_at": epoch, "processed_at": epoch,
                                     "version": cur_version,
+                                    # origin fetch parses the registry's raw
+                                    # date through the extractDate chain
+                                    # (lib/utils.js:70-97)
+                                    "release_date": extract_date_py(
+                                        reg_row.get("release_date_raw"), _CRAWL_NOW_DT),
                                 }))
 
         if rtype in TERMINAL_TYPES:
@@ -499,6 +512,7 @@ class CrawlSimulator:
                                     "spans": tool_output_span(rtype, e["url"]), "etag": None,
                                     "fetched_at": epoch, "processed_at": epoch,
                                     "version": cur_version,
+                                    "release_date": None,
                                 }))
 
         # structural types (component/package/source): no stored doc of

@@ -76,6 +76,7 @@ def main() -> int:
             "fetched_at": r["fetched_at_epoch"],
             "processed_at": r["processed_at_epoch"],
             "version": r["version"],
+            "release_date": r["release_date"],
         }
         for k, r in latest.items()
     }

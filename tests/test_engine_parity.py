@@ -96,11 +96,13 @@ def test_document_span_sequence_invariant(sim_result, spark_run):
     }
     assert spark_docs == sim_docs
     spark_meta = {
-        k: (r["etag"], r["fetched_at_epoch"], r["processed_at_epoch"], r["version"])
+        k: (r["etag"], r["fetched_at_epoch"], r["processed_at_epoch"], r["version"],
+            r["release_date"])
         for k, r in latest.items()
     }
     sim_meta = {
-        k: (v["etag"], v["fetched_at"], v["processed_at"], v["version"])
+        k: (v["etag"], v["fetched_at"], v["processed_at"], v["version"],
+            v["release_date"])
         for k, v in sim_result.documents.items()
     }
     assert spark_meta == sim_meta

@@ -113,6 +113,29 @@ def test_extract_date_branches_and_window(spark):
         assert got[i] == want, (i, cases[i], got[i])
 
 
+def test_extract_date_spark_python_twin_parity(spark):
+    """The engine stamps release_date with the Spark chain; the parity
+    simulator with extract_date_py — they must agree on every wire format
+    the registry generator emits (and on the null-ing failure modes)."""
+    import datetime as dt
+    import random
+
+    from crawler_spark.data.generators import _release_date_raw_py
+    from crawler_spark.functions.dates import extract_date_py
+
+    rng = random.Random(123)
+    raws = [_release_date_raw_py(rng) for _ in range(200)]
+    now = dt.datetime(2026, 1, 1)
+    py = [extract_date_py(r, now) for r in raws]
+    df = spark.createDataFrame(list(enumerate(raws)), "i int, raw string")
+    sp = {
+        r["i"]: r["d"]
+        for r in df.select("i", extract_date(F.col("raw"), "2026-01-01 00:00:00").alias("d")).collect()
+    }
+    assert [sp[i] for i in range(len(raws))] == py
+    assert any(p is not None for p in py) and any(p is None for p in py)
+
+
 def test_source_url_builders(spark):
     rows = [
         # provider, ns, name, rev, override
