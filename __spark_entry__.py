@@ -27,7 +27,10 @@ _REPO_ROOT = "/root/repo"
 
 
 def _ensure_import_path() -> None:
-    here = os.path.dirname(os.path.abspath(__file__))
+    try:  # exec()-style loading defines no __file__ — fall back to the pins
+        here = os.path.dirname(os.path.abspath(__file__))
+    except NameError:  # pragma: no cover
+        here = _REPO_ROOT
     for p in (here, _REPO_ROOT, os.getcwd()):
         if os.path.isdir(os.path.join(p, "crawler_spark")) and p not in sys.path:
             sys.path.insert(0, p)
@@ -1047,6 +1050,67 @@ def q_reuse_licenses(spark, sf_dir):
     return reuse_license_entries(listing)
 
 
+def q_git_resolve(spark, sf_dir):
+    """F16 gitCloner revision normalization (gitCloner.js:71-83): HEAD /
+    branch / tag / full-sha / short-prefix revisions all normalize to the
+    full commit sha, with git's precedence (full sha as-is lowercased,
+    ref name over prefix, ambiguous prefix → null). Resolved against a
+    synthetic per-repo refs dimension; the oracle states each branch's
+    expected sha closed-form."""
+    from crawler_spark.functions.gitfetch import git_resolve_revision
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    rid = F.lpad((pk % 20).cast("string"), 4, "0")
+    head = F.concat(rid, F.repeat(F.lit("a"), 36))
+    tag = F.concat(rid, F.repeat(F.lit("b"), 36))
+    specs = p.select(
+        pk.alias("spec_id"),
+        F.concat(F.lit("r"), (pk % 20).cast("string")).alias("repo"),
+        F.when(pk % 6 == 1, F.lit("main"))
+        .when(pk % 6 == 2, F.lit("v1.0"))
+        .when(pk % 6 == 3, F.upper(tag))  # full sha, mixed case → lowered
+        .when(pk % 6 == 4, F.concat(rid, F.lit("a")))  # unique 5-char prefix
+        .when(pk % 6 == 5, rid)  # 4-char prefix shared by head+tag → ambiguous
+        .alias("revision"),
+    )
+    repos = spark.range(20).select(
+        F.concat(F.lit("r"), F.col("id").cast("string")).alias("repo"),
+        F.lpad(F.col("id").cast("string"), 4, "0").alias("_rid"),
+    )
+    refs = repos.select(
+        "repo",
+        F.explode(
+            F.array(
+                F.struct(F.lit("HEAD").alias("ref"), F.concat(F.col("_rid"), F.repeat(F.lit("a"), 36)).alias("sha")),
+                F.struct(F.lit("main").alias("ref"), F.concat(F.col("_rid"), F.repeat(F.lit("a"), 36)).alias("sha")),
+                F.struct(F.lit("v1.0").alias("ref"), F.concat(F.col("_rid"), F.repeat(F.lit("b"), 36)).alias("sha")),
+            )
+        ).alias("r"),
+    ).select("repo", F.col("r.ref").alias("ref"), F.col("r.sha").alias("sha"))
+    return git_resolve_revision(specs, refs)
+
+
+def q_clearly_desc(spark, sf_dir):
+    """P14 sourceExtract: root clearly.yaml parsed into
+    document.description (sourceExtract.js:24-31) — nested copies
+    ignored, comments/blank lines skipped, quotes stripped; long-format
+    (doc, key, value) rows keep the oracle value-exact."""
+    from crawler_spark.operators.toolout import sourceextract_description
+
+    d = _t(spark, sf_dir, "documents")
+    nc = F.col("n_chars")
+    # every doc carries a clearly.yaml, but only docs with n_chars%3!=0
+    # have it at the clone root — the rest sit nested and must be ignored
+    path = F.when(nc % 3 != 0, "clearly.yaml").otherwise("vendored/clearly.yaml")
+    content = F.concat(
+        F.lit("# generated\ndescribed: \"repo-"), F.col("doc_id").cast("string"),
+        F.lit("\"\nlicense: MIT\n\nfacets.dev: src"),
+    )
+    files = d.select(F.col("doc_id").alias("doc"), path.alias("path"), content.alias("content"))
+    return sourceextract_description(files)
+
+
 def q_date_parse(spark, sf_dir):
     """Release-date parse chain (lib/utils.js:70-97): ISO, date-only,
     RFC 2822, HTTP-date, SQL, pom-properties custom format, plus the
@@ -1105,9 +1169,165 @@ def q_source_urls(spark, sf_dir):
     )
 
 
+def q_maven_fetch(spark, sf_dir):
+    """Maven-family fetch decisions (mavenBasedFetch.js + the three
+    concrete providers): provider-routed latest-version (solrsearch
+    latestVersion for central, repository-metadata release pointer for
+    google/gradleplugin), extension-priority artifact resolution,
+    handle()'s skip algebra, casedSpec override, and the 4-step
+    release-date fallback chain — all as codegen column kernels."""
+    from crawler_spark.functions.mavenfetch import (
+        maven_artifact_extension,
+        maven_artifact_url,
+        maven_cased_spec,
+        maven_fetch_outcome,
+        maven_latest_version,
+        maven_release_date,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    provider = (
+        F.when(pk % 3 == 0, "mavencentral")
+        .when(pk % 3 == 1, "mavengoogle")
+        .otherwise("gradleplugin")
+    )
+    ns = F.when(pk % 11 != 0, F.concat(F.lit("g"), (pk % 5).cast("string"), F.lit(".example")))
+    name = F.concat(F.lit("art"), (pk % 40).cast("string"))
+    spec_type = F.when(pk % 7 == 0, "sourcearchive").otherwise("maven")
+    req_rev = F.when(pk % 2 != 0, F.concat(F.lit("1."), (pk % 6).cast("string")))
+    metadata_release = F.when(pk % 13 != 1, F.concat(F.lit("2."), (pk % 4).cast("string")))
+    solr_latest = F.when(pk % 17 != 2, F.concat(F.lit("3."), (pk % 5).cast("string")))
+    resolved = F.coalesce(req_rev, maven_latest_version(provider, metadata_release, solr_latest))
+    ext = maven_artifact_extension(
+        spec_type, (pk % 4 != 0), (pk % 5 != 1), (pk % 6 == 0)
+    )
+    n_poms = (pk % 5).cast("int")
+    summary_group = F.when(pk % 8 == 0, F.concat(F.lit("org.Cased"), (pk % 5).cast("string")))
+    summary_artifact = F.when(pk % 8 <= 1, F.concat(F.lit("Art"), (pk % 40).cast("string")))
+    solr_ts_ms = F.when(
+        pk % 19 != 0, F.lit(1420070400000) + (pk % 997).cast("bigint") * F.lit(86400000)
+    )
+    day = F.lpad((pk % 28 + 1).cast("string"), 2, "0")
+    pom_lines = F.when(pk % 23 == 0, F.array(F.lit("version=1.0"))).otherwise(
+        F.array(F.lit("version=1.0"), F.concat(F.lit("#2015-03-"), day, F.lit("T10:00:00Z")))
+    )
+    manifest_mtime = F.when(pk % 4 != 0, F.to_timestamp(F.lit("2016-01-15 12:00:00")))
+    any_mtime = F.to_timestamp(F.lit("2017-02-20 08:30:00"))
+    outcome = maven_fetch_outcome(ns, resolved, n_poms, ext)
+    fetched = outcome == "Fetched"
+    cased = maven_cased_spec(ns, name, summary_group, summary_artifact)
+    return p.select(
+        pk.alias("spec_id"),
+        outcome.alias("outcome"),
+        F.when(fetched, resolved).alias("resolved_rev"),
+        F.when(fetched, ext).alias("artifact_ext"),
+        F.when(fetched, maven_artifact_url(provider, ns, name, resolved, ext)).alias("artifact_url"),
+        F.when(fetched, cased["namespace"]).alias("cased_ns"),
+        F.when(fetched, cased["name"]).alias("cased_name"),
+        F.when(
+            fetched,
+            maven_release_date(
+                provider, solr_ts_ms, pom_lines, manifest_mtime, any_mtime,
+                "2026-01-01 00:00:00",
+            ),
+        ).alias("release_date"),
+    )
+
+
+def q_rubygems_fetch(spark, sf_dir):
+    """Rubygems fetch decisions (rubyGemsFetch.js): skip algebra (missing
+    registryData / unresolvable revision), revision fallback to the
+    registry's `version`, gem URL with the optional namespace prefix,
+    casedSpec.name override, and the metadata.txt date chain (padded
+    `date:` parses; unpadded / absent / out-of-window → metadata.gz
+    mtime; no metadata.txt at all → null)."""
+    from crawler_spark.functions.providers import (
+        gem_fetch_outcome,
+        gem_release_date,
+        gem_url,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    has_reg = pk % 9 != 0
+    reg_ver = F.when(pk % 13 != 2, F.concat(F.lit("2."), (pk % 5).cast("string")))
+    spec_rev = F.when(pk % 2 == 1, F.concat(F.lit("1."), (pk % 4).cast("string")))
+    resolved = F.coalesce(spec_rev, reg_ver)
+    ns = F.when(pk % 7 == 0, F.concat(F.lit("ns"), (pk % 3).cast("string")))
+    name = F.concat(F.lit("gem"), (pk % 30).cast("string"))
+    reg_name = F.when(pk % 8 == 0, F.concat(F.lit("Gem"), (pk % 30).cast("string")))
+    day = F.lpad((pk % 28 + 1).cast("string"), 2, "0")
+    meta = (
+        F.when(pk % 6 == 1, F.concat(F.lit("date: 2015-03-"), day))
+        .when(pk % 6 == 2, F.lit("date: 2015-3-9"))
+        .when(pk % 6 == 3, F.lit("created: nothing"))
+        .when(pk % 6 == 4, F.lit("date: 1949-01-01"))
+        .when(pk % 6 == 5, F.lit("date: 2015-12-25\nname: x"))
+    )
+    mtime = F.to_timestamp(F.lit("2016-02-02 10:00:00"))
+    outcome = gem_fetch_outcome(has_reg, resolved)
+    fetched = outcome == "Fetched"
+    return p.select(
+        pk.alias("spec_id"),
+        outcome.alias("outcome"),
+        F.when(fetched, gem_url(ns, name, resolved)).alias("gem_url"),
+        F.when(fetched, F.coalesce(reg_name, name)).alias("cased_name"),
+        F.when(
+            fetched, gem_release_date(meta, mtime, "2026-01-01 00:00:00")
+        ).alias("release_date"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: connected components (min-label
+    propagation, iterative hash joins) over an edge set built closed-form
+    from doc ids — short chains (i→i+1 runs) bridged by long-range edges
+    — so the DuckDB oracle can state the same components with a recursive
+    CTE. Every doc lands in a cluster; singletons map to themselves."""
+    from crawler_spark.operators.dedup import near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    chains = d.filter(i % 10 < 3).select(i.alias("id_a"), (i + 1).alias("id_b"))
+    bridges = d.filter((i % 17 == 0) & (i % 100 != 0)).select(
+        i.alias("id_a"), (i - i % 100).alias("id_b")
+    )
+    clusters = near_dup_clusters(chains.unionByName(bridges))
+    return d.join(clusters, d["doc_id"] == clusters["node"], "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """The step a dedup pipeline actually ships: per near-dup cluster,
+    KEEP the best document (longest; ties → lowest id) and report what
+    was dropped. Composition of `near_dup_clusters` (iterative CC) with
+    a single max_by aggregation — no window, one shuffle on cluster_id
+    (uniform keys: near-dup clusters are small by construction)."""
+    from crawler_spark.operators.dedup import near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    chains = d.filter(i % 10 < 3).select(i.alias("id_a"), (i + 1).alias("id_b"))
+    bridges = d.filter((i % 17 == 0) & (i % 100 != 0)).select(
+        i.alias("id_a"), (i - i % 100).alias("id_b")
+    )
+    clusters = near_dup_clusters(chains.unionByName(bridges))
+    dwc = d.join(clusters, d["doc_id"] == clusters["node"], "left").select(
+        "doc_id", "n_chars", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    return dwc.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max_by("doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))).alias("rep_id"),
+        F.max("n_chars").alias("rep_chars"),
+        (F.sum("n_chars") - F.max("n_chars")).alias("dropped_chars"),
+    )
 
 
 def q_dedup_fingerprint(spark, sf_dir):
@@ -1298,8 +1518,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scancode_files": q_scancode_files,
         "q_reuse_spdx": q_reuse_spdx,
         "q_reuse_licenses": q_reuse_licenses,
+        "q_git_resolve": q_git_resolve,
+        "q_clearly_desc": q_clearly_desc,
         "q_date_parse": q_date_parse,
         "q_source_urls": q_source_urls,
+        "q_maven_fetch": q_maven_fetch,
+        "q_rubygems_fetch": q_rubygems_fetch,
         "q_file_summary": q_file_summary,
         "q_interesting_files": q_interesting_files,
         "q_licensee_merge": q_licensee_merge,
@@ -1311,6 +1535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_discovery": q_source_discovery,
         "q_du_summary": q_du_summary,
         "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_keep_best": q_dedup_keep_best,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_near_dups": q_minhash_near_dups,
         "q_simhash_near_dups": q_simhash_near_dups,
@@ -1913,6 +2139,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # expected UTC instants stated closed-form per branch — fully
         # independent of the Spark parser chain
+        # expected shas stated closed-form per revision branch: HEAD/main
+        # and the unique prefix hit the head sha, v1.0 and the full sha
+        # the tag sha, the shared 4-char prefix is ambiguous → NULL
+        "q_git_resolve": """
+            WITH p AS (SELECT p_partkey AS pk FROM part),
+            d AS (
+              SELECT pk,
+                lpad(CAST(pk % 20 AS VARCHAR), 4, '0') AS rid,
+                lpad(CAST(pk % 20 AS VARCHAR), 4, '0') || repeat('a', 36) AS head,
+                lpad(CAST(pk % 20 AS VARCHAR), 4, '0') || repeat('b', 36) AS tag
+              FROM p)
+            SELECT pk AS spec_id,
+              'r' || CAST(pk % 20 AS VARCHAR) AS repo,
+              CASE pk % 6 WHEN 1 THEN 'main' WHEN 2 THEN 'v1.0'
+                          WHEN 3 THEN upper(tag) WHEN 4 THEN rid || 'a'
+                          WHEN 5 THEN rid END AS revision,
+              CASE pk % 6 WHEN 0 THEN head WHEN 1 THEN head WHEN 2 THEN tag
+                          WHEN 3 THEN tag WHEN 4 THEN head END AS sha
+            FROM d
+        """,
+        # expected description rows stated directly: only root-level
+        # clearly.yaml docs (n_chars%3<>0) contribute, three keys each
+        "q_clearly_desc": """
+            SELECT doc_id AS doc, 'described' AS key, 'repo-' || doc_id AS value
+            FROM documents WHERE n_chars % 3 <> 0
+            UNION ALL
+            SELECT doc_id, 'license', 'MIT' FROM documents WHERE n_chars % 3 <> 0
+            UNION ALL
+            SELECT doc_id, 'facets.dev', 'src' FROM documents WHERE n_chars % 3 <> 0
+        """,
         "q_date_parse": """
             WITH p AS (SELECT p_partkey AS pk FROM part),
             f AS (
@@ -1966,6 +2222,100 @@ def oracle_sql() -> dict[str, str]:
                 ELSE NULL
               END AS url
             FROM p
+        """,
+        # every fetch decision restated closed-form: routed latest, skip
+        # algebra in handle() order, extension priority, casedSpec
+        # overrides, 4-step release-date coalesce
+        "q_maven_fetch": """
+            WITH p AS (SELECT p_partkey AS pk FROM part),
+            d AS (
+              SELECT pk,
+                CASE WHEN pk % 11 <> 0 THEN 'g' || CAST(pk % 5 AS VARCHAR) || '.example' END AS ns,
+                COALESCE(
+                  CASE WHEN pk % 2 <> 0 THEN '1.' || CAST(pk % 6 AS VARCHAR) END,
+                  CASE WHEN pk % 3 = 0
+                       THEN CASE WHEN pk % 17 <> 2 THEN '3.' || CAST(pk % 5 AS VARCHAR) END
+                       ELSE CASE WHEN pk % 13 <> 1 THEN '2.' || CAST(pk % 4 AS VARCHAR) END
+                  END) AS resolved,
+                CASE WHEN pk % 7 = 0
+                     THEN CASE WHEN pk % 4 <> 0 THEN '-sources.jar' END
+                     ELSE CASE WHEN pk % 5 <> 1 THEN '.jar' WHEN pk % 6 = 0 THEN '.aar' END
+                END AS ext
+              FROM p),
+            o AS (
+              SELECT *,
+                CASE WHEN ns IS NULL OR resolved IS NULL THEN 'Skipped'
+                     WHEN pk % 5 = 0 THEN 'Skipped'
+                     WHEN ext IS NULL THEN 'Skipped'
+                     ELSE 'Fetched' END AS outcome
+              FROM d)
+            SELECT pk AS spec_id, outcome,
+              CASE WHEN outcome = 'Fetched' THEN resolved END AS resolved_rev,
+              CASE WHEN outcome = 'Fetched' THEN ext END AS artifact_ext,
+              CASE WHEN outcome = 'Fetched' THEN
+                CASE pk % 3 WHEN 0 THEN 'https://search.maven.org/remotecontent?filepath='
+                            WHEN 1 THEN 'https://dl.google.com/android/maven2/'
+                            ELSE 'https://plugins.gradle.org/m2/' END
+                || 'g' || CAST(pk % 5 AS VARCHAR) || '/example/art' || CAST(pk % 40 AS VARCHAR)
+                || '/' || resolved || '/art' || CAST(pk % 40 AS VARCHAR) || '-' || resolved || ext
+              END AS artifact_url,
+              CASE WHEN outcome = 'Fetched' THEN
+                CASE WHEN pk % 8 = 0 THEN 'org.Cased' || CAST(pk % 5 AS VARCHAR) ELSE ns END
+              END AS cased_ns,
+              CASE WHEN outcome = 'Fetched' THEN
+                CASE WHEN pk % 8 <= 1 THEN 'Art' ELSE 'art' END || CAST(pk % 40 AS VARCHAR)
+              END AS cased_name,
+              CASE WHEN outcome = 'Fetched' THEN
+                COALESCE(
+                  CASE WHEN pk % 3 = 0 AND pk % 19 <> 0
+                       THEN epoch_ms(1420070400000 + CAST(pk % 997 AS BIGINT) * 86400000) END,
+                  CASE WHEN pk % 23 <> 0
+                       THEN CAST('2015-03-' || lpad(CAST(pk % 28 + 1 AS VARCHAR), 2, '0')
+                                 || ' 10:00:00' AS TIMESTAMP) END,
+                  CASE WHEN pk % 4 <> 0 THEN TIMESTAMP '2016-01-15 12:00:00' END,
+                  TIMESTAMP '2017-02-20 08:30:00')
+              END AS release_date
+            FROM o
+        """,
+        # every rubygems decision restated closed-form: skip algebra,
+        # registry-version fallback, URL build, cased name, date chain
+        # (branch 1 parses, 2/3/4 fall to the mtime const, 0 stays null)
+        "q_rubygems_fetch": """
+            WITH p AS (SELECT p_partkey AS pk FROM part),
+            d AS (
+              SELECT pk,
+                pk % 9 <> 0 AS has_reg,
+                CASE WHEN pk % 7 = 0 THEN 'ns' || CAST(pk % 3 AS VARCHAR) END AS ns,
+                'gem' || CAST(pk % 30 AS VARCHAR) AS name,
+                COALESCE(
+                  CASE WHEN pk % 2 = 1 THEN '1.' || CAST(pk % 4 AS VARCHAR) END,
+                  CASE WHEN pk % 13 <> 2 THEN '2.' || CAST(pk % 5 AS VARCHAR) END
+                ) AS resolved,
+                CASE WHEN pk % 8 = 0 THEN 'Gem' || CAST(pk % 30 AS VARCHAR) END AS reg_name,
+                pk % 6 AS mb
+              FROM p),
+            o AS (
+              SELECT *,
+                CASE WHEN NOT has_reg THEN 'Skipped'
+                     WHEN resolved IS NULL THEN 'Skipped'
+                     ELSE 'Fetched' END AS outcome
+              FROM d)
+            SELECT pk AS spec_id, outcome,
+              CASE WHEN outcome = 'Fetched' THEN
+                'https://rubygems.org/gems/'
+                || CASE WHEN ns IS NOT NULL THEN ns || '/' ELSE '' END
+                || name || '-' || resolved || '.gem'
+              END AS gem_url,
+              CASE WHEN outcome = 'Fetched' THEN COALESCE(reg_name, name) END AS cased_name,
+              CASE WHEN outcome = 'Fetched' THEN
+                CASE mb
+                  WHEN 1 THEN TIMESTAMP '2015-03-01 00:00:00' + (pk % 28) * INTERVAL 1 DAY
+                  WHEN 5 THEN TIMESTAMP '2015-12-25 00:00:00'
+                  WHEN 0 THEN NULL
+                  ELSE TIMESTAMP '2016-02-02 10:00:00'
+                END
+              END AS release_date
+            FROM o
         """,
         "q_file_summary": """
             WITH files AS (
@@ -2099,6 +2449,54 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(name, cand_idx * 100 + pattern_idx) AS name,
                    arg_min(sha, cand_idx * 100 + pattern_idx) AS sha
             FROM matched GROUP BY request_id
+        """,
+        # independent engine: DuckDB computes the same components by
+        # transitive closure (recursive CTE) over the same closed-form
+        # edge arithmetic, then takes min reachable id per node
+        "q_dedup_clusters": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3
+              UNION ALL
+              SELECT doc_id, doc_id - doc_id % 100 FROM documents
+              WHERE doc_id % 17 = 0 AND doc_id % 100 <> 0),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            r(node, lbl) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN r ON r.node = e.b),
+            cc AS (SELECT node, min(lbl) AS cluster FROM r GROUP BY node)
+            SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        """,
+        # same component construction, then per-cluster representative:
+        # longest doc, ties broken by lowest id (arg-max emulated with a
+        # max-filter self-join so the oracle stays window-free)
+        "q_dedup_keep_best": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3
+              UNION ALL
+              SELECT doc_id, doc_id - doc_id % 100 FROM documents
+              WHERE doc_id % 17 = 0 AND doc_id % 100 <> 0),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            r(node, lbl) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN r ON r.node = e.b),
+            cc AS (SELECT node, min(lbl) AS cluster FROM r GROUP BY node),
+            dwc AS (
+              SELECT d.doc_id, d.n_chars, COALESCE(cc.cluster, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+            grp AS (
+              SELECT cluster_id, count(*) AS n_members, max(n_chars) AS rep_chars,
+                     sum(n_chars) - max(n_chars) AS dropped_chars
+              FROM dwc GROUP BY cluster_id)
+            SELECT g.cluster_id, g.n_members, min(d.doc_id) AS rep_id,
+                   g.rep_chars, g.dropped_chars
+            FROM grp g JOIN dwc d
+              ON d.cluster_id = g.cluster_id AND d.n_chars = g.rep_chars
+            GROUP BY g.cluster_id, g.n_members, g.rep_chars, g.dropped_chars
         """,
         "q_dedup_fingerprint": f"""
             WITH fp AS (SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents)

@@ -246,6 +246,7 @@ def main():
         "q_ngram_jaccard", "q_cosine_topk", "q_embed_near_pairs_lsh",
         "q_token_quality", "q_langid", "q_dedup_fingerprint", "q_media_decode",
         "q_source_discovery", "q_maven_pom_merge", "q_manifest_discovery",
+        "q_dedup_clusters",
     ):
         # q_embed_near_pairs_lsh (multi-table LSH prefilter) is the scale
         # path; the exact all-pairs q_embed_near_pairs stays a tiny-sf

@@ -10,6 +10,7 @@ DuckDB-mirrorable for the oracle harness.
 * cocoapods md5-prefix shard path  — podFetch.js:160-181
 * conda (name, version, build-prefix) match — condaFetch.js:85-114
 * debian copyright License-line parse       — debianFetch.js:346-385
+* rubygems gem URL / skip algebra / metadata date chain — rubyGemsFetch.js
 """
 
 from __future__ import annotations
@@ -271,3 +272,48 @@ def debian_declared_licenses(df: DataFrame, id_col: str, text_col: str) -> DataF
         F.explode(F.flatten(F.transform(ids, lambda ln: branch(normalize(ln))))).alias("license"),
     )
     return out.distinct()
+
+
+# ---------------------------------------------------------------------------
+# rubygems: gem URL / revision fallback / metadata date chain
+# (rubyGemsFetch.js:24-50, 62-64, 100-115)
+# ---------------------------------------------------------------------------
+
+
+def gem_url(namespace: Column, name: Column, revision: Column) -> Column:
+    """`https://rubygems.org/gems/<fullName>-<revision>.gem` where
+    fullName prefixes the optional namespace with '/'
+    (rubyGemsFetch.js:62-64)."""
+    full = F.when(
+        namespace.isNotNull(), F.concat(namespace, F.lit("/"), name)
+    ).otherwise(name)
+    return F.concat(F.lit("https://rubygems.org/gems/"), full, F.lit("-"), revision, F.lit(".gem"))
+
+
+def gem_fetch_outcome(has_registry: Column, resolved_revision: Column) -> Column:
+    """handle()'s skip algebra (rubyGemsFetch.js:26-33): no registryData
+    → Skipped; revision (spec's or the registry's `version` fallback)
+    still missing → Skipped; else Fetched."""
+    return (
+        F.when(~has_registry, "Skipped")
+        .when(resolved_revision.isNull(), "Skipped")
+        .otherwise("Fetched")
+    )
+
+
+def gem_release_date(
+    metadata_txt: Column, metadata_mtime: Column, now: Column | str
+) -> Column:
+    """_extractReleaseDate (rubyGemsFetch.js:100-115): the decompressed
+    gemspec metadata is scanned for `/date:\\s\\d{4}-\\d{1,2}-\\d{1,2}/`;
+    the captured date goes through extractDate, and any failure — no
+    match, or a NON-ZERO-PADDED date, which every luxon branch rejects
+    ('2015-3-9' is invalid fromISO/fromSQL; Spark's lenient cast would
+    accept it, so the pad-check keeps the twins aligned) — falls back to
+    metadata.gz's mtime. A null metadata_txt means no metadata.txt was
+    extracted: the reference returns undefined (no mtime fallback)."""
+    from crawler_spark.functions.dates import extract_date
+
+    m = F.regexp_extract(metadata_txt, r"date:\s(\d{4}-\d{1,2}-\d{1,2})", 1)
+    parsed = F.when(m.rlike(r"^\d{4}-\d{2}-\d{2}$"), extract_date(m, now))
+    return F.when(metadata_txt.isNotNull(), F.coalesce(parsed, metadata_mtime))

@@ -414,3 +414,75 @@ def simhash_near_duplicates(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# cluster assignment: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    pairs: DataFrame, left: str = "id_a", right: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Turn a near-duplicate PAIR set (from `ngram_jaccard_pairs`,
+    `minhash_near_dup_pairs`, or `simhash_near_dup_pairs`) into CLUSTER
+    assignments — the step a dedup pipeline actually keeps: one
+    representative per connected component.
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round a node takes min(own label, neighbors' labels); fixpoint
+    = connected components with cluster_id = min member id. Near-dup
+    components are near-cliques (diameter 2-3), so 3-4 rounds converge;
+    the loop stops at the first round with zero label changes (a 1-row
+    count), bounded by `max_iter`. For adversarial long-chain graphs
+    swap in large-star/small-star (same join primitive, O(log n)
+    rounds) — not needed for similarity graphs.
+
+    Scale: one hash-shuffle equi-join per round keyed on the node id
+    (uniform), labels persisted per round and the previous round
+    unpersisted, edge table persisted once. No windows, no driver-side
+    data — the convergence check is a count() aggregate.
+
+    Output: (node, cluster_id) for every node that appears in `pairs`
+    (callers coalesce singletons to their own id).
+    """
+    from pyspark import StorageLevel
+
+    sym = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = (
+        sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("lbl").alias("cluster_id"))

@@ -127,6 +127,30 @@ def reuse_spdx_records(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return parsed.filter(~((F.col("scope") == "metadata") & (F.col("key") == "Relationship")))
 
 
+def sourceextract_description(files: DataFrame) -> DataFrame:
+    """clearly.yaml → document.description (P14,
+    providers/process/sourceExtract.js:24-31): the file must sit at the
+    clone ROOT (`path.join(location, 'clearly.yaml')` — nested copies are
+    ignored); an absent file leaves the document without a description.
+    The reference safeLoads arbitrary YAML; the modeled subset is the
+    top-level `key: value` scalar map (the documented clearly.yaml
+    shape), comments and blank lines skipped, surrounding quotes
+    stripped. Long-format output keeps the oracle value-exact.
+
+    Input columns: doc, path, content. Output: (doc, key, value).
+    """
+    lines = files.filter(F.col("path") == "clearly.yaml").select(
+        "doc", F.explode(F.split(F.col("content"), r"\n")).alias("line")
+    )
+    m = r"^([A-Za-z_][\w.-]*):\s*(.*?)\s*$"
+    key = F.regexp_extract(F.col("line"), m, 1)
+    raw = F.regexp_extract(F.col("line"), m, 2)
+    unquoted = F.regexp_replace(raw, r"^['\"]|['\"]$", "")
+    return lines.filter(
+        (key != "") & ~F.trim(F.col("line")).startswith("#")
+    ).select("doc", key.alias("key"), unquoted.alias("value"))
+
+
 def reuse_license_entries(listing: DataFrame) -> DataFrame:
     """LICENSES/ dir listing → license records (fsfeReuse.js:140-156):
     filePath = 'LICENSES/<file>', spdxId = file.substring(0,

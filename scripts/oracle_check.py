@@ -46,8 +46,11 @@ def compare(name, spark_df, ddb_rows, ddb_cols):
         return f"SCHEMA MISMATCH spark={s_cols} duckdb={d_cols}"
     order = [spark_df.columns.index(c) for c in s_cols]
     d_order = [list(ddb_cols).index(c) for c in s_cols]
-    s_rows = sorted(tuple(_norm(r[i]) for i in order) for r in spark_df.collect())
-    d_rows = sorted(tuple(_norm(r[i]) for i in d_order) for r in ddb_rows)
+    # sort by repr: a deterministic total order that (a) never throws on
+    # mixed None/str columns and (b) assigns equal keys to equal
+    # normalized rows, so multiset equality is preserved
+    s_rows = sorted((tuple(_norm(r[i]) for i in order) for r in spark_df.collect()), key=repr)
+    d_rows = sorted((tuple(_norm(r[i]) for i in d_order) for r in ddb_rows), key=repr)
     if len(s_rows) != len(d_rows):
         return f"ROWCOUNT MISMATCH spark={len(s_rows)} duckdb={len(d_rows)}"
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):

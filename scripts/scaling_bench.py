@@ -24,7 +24,13 @@ def run_once(n: int, cpus: int, batch: int) -> dict:
     launches via `spark-submit --py-files <engine zip>` (the north rule's
     deployment shape); default is a plain python subprocess (same JVM
     semantics in local mode, faster startup)."""
-    job = [os.path.join(REPO, "scripts", "frontier_job.py"), str(n), str(cpus), str(batch)]
+    # standing frontier table on tmpfs (same rationale as bench.py: the
+    # VM's virtual disk has high-variance throughput; the probe measures
+    # scheduling compute, not disk IO) — materialized once, shared by
+    # both parallelism levels
+    tdir = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    job = [os.path.join(REPO, "scripts", "frontier_job.py"), str(n), str(cpus), str(batch),
+           f"{tdir}/frontier_bench_{n}"]
     if os.environ.get("SPARK_GRAFT_SUBMIT") == "1":
         from scripts.package_pyfiles import build
 

@@ -104,6 +104,23 @@ def test_entry_loaded_from_copied_file_in_foreign_cwd(spark, tmp_path):
         sys.modules.update(saved_mods)
 
 
+def test_entry_exec_without_file(tmp_path):
+    """Driver handshake hardening, mode 3: `exec(source)` with no
+    __file__ in globals (runpy-less string exec). The NameError fallback
+    must still pin /root/repo so lazy imports resolve."""
+    import sys
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    saved_cwd = os.getcwd()
+    try:
+        os.chdir(str(tmp_path))
+        g = {"__name__": "__driver_exec_entry__"}  # note: no __file__
+        exec(compile(src, "<driver-exec>", "exec"), g)
+        assert set(g["oracle_sql"]()) <= set(g["queries"]())
+    finally:
+        os.chdir(saved_cwd)
+
+
 def test_self_runner_emits_json_lines(tmp_path):
     """`python __spark_entry__.py <sf> <query>` prints a digest line per
     query + a summary — the executable fallback for the driver."""

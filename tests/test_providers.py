@@ -191,3 +191,42 @@ def test_debian_parse_matches_reference(spark):
     for i, t in enumerate(TEXTS):
         want = set(_reference_parse(t))
         assert got.get(i, set()) == want, (i, got.get(i), want)
+
+
+def test_gem_fetch_kernels(spark):
+    """rubyGemsFetch.js algebra: URL build with optional namespace, skip
+    algebra, and the metadata date chain (padded date parses; unpadded /
+    missing / out-of-window dates fall to mtime; no metadata.txt → null)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.providers import (
+        gem_fetch_outcome,
+        gem_release_date,
+        gem_url,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "rails", "7.0.1", True, "date: 2015-03-09\nname: rails"),
+            (2, "org", "tool", "1.2", True, "date: 2015-3-9"),      # unpadded → mtime
+            (3, None, "gemx", None, True, "no date line"),          # registry gave no version
+            (4, None, "gemy", "2.0", False, None),                  # no registryData
+            (5, None, "gemz", "3.0", True, None),                   # no metadata.txt
+            (6, None, "gemw", "4.0", True, "date: 1949-01-01"),     # out of window → mtime
+        ],
+        "id int, ns string, name string, rev string, has_reg boolean, meta string",
+    )
+    mtime = F.to_timestamp(F.lit("2016-02-02 10:00:00"))
+    out = df.select(
+        "id",
+        gem_fetch_outcome(F.col("has_reg"), F.col("rev")).alias("outcome"),
+        gem_url(F.col("ns"), F.col("name"), F.col("rev")).alias("url"),
+        gem_release_date(F.col("meta"), mtime, "2026-01-01 00:00:00").alias("dt"),
+    )
+    got = {r["id"]: (r["outcome"], r["url"], str(r["dt"])) for r in out.collect()}
+    assert got[1] == ("Fetched", "https://rubygems.org/gems/rails-7.0.1.gem", "2015-03-09 00:00:00")
+    assert got[2] == ("Fetched", "https://rubygems.org/gems/org/tool-1.2.gem", "2016-02-02 10:00:00")
+    assert got[3][0] == "Skipped"
+    assert got[4][0] == "Skipped"
+    assert got[5] == ("Fetched", "https://rubygems.org/gems/gemz-3.0.gem", "None")
+    assert got[6][2] == "2016-02-02 10:00:00"

@@ -91,6 +91,29 @@ def test_reuse_license_spdxid_quirk(spark):
     }
 
 
+def test_sourceextract_clearly_yaml(spark):
+    """Root-only clearly.yaml → long-format description rows; nested
+    copies, comments, blank lines and non-mapping lines are ignored;
+    quotes stripped (sourceExtract.js:24-31)."""
+    from crawler_spark.operators.toolout import sourceextract_description
+
+    files = spark.createDataFrame(
+        [
+            (1, "clearly.yaml", '# hdr\ndescribed: "repo-a"\nlicense: MIT\n\nfacets.dev: src\nnot a mapping'),
+            (2, "vendored/clearly.yaml", "license: MIT"),  # nested → ignored
+            (3, "clearly.yaml", "'quoted_key_is_not': kept\nplain: 'v1'"),
+        ],
+        "doc int, path string, content string",
+    )
+    got = {(r["doc"], r["key"]): r["value"] for r in sourceextract_description(files).collect()}
+    assert got == {
+        (1, "described"): "repo-a",
+        (1, "license"): "MIT",
+        (1, "facets.dev"): "src",
+        (3, "plain"): "v1",
+    }
+
+
 def test_extract_date_branches_and_window(spark):
     cases = [
         ("2023-04-15T10:30:00Z", "2023-04-15 10:30:00"),
