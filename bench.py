@@ -227,7 +227,6 @@ def main():
 
     queries: dict[str, float] = {}
 
-    t0 = time.time()
     # the standing frontier table lives on tmpfs: this VM's virtual disk
     # has wildly variable throughput that poisons the scan timings, and
     # the epoch metric is about scheduling compute, not disk IO
@@ -235,6 +234,13 @@ def main():
     table = f"{bench_dir}/frontier_bench_{FRONTIER_N}"
     if not os.path.exists(os.path.join(table, "_SUCCESS")):
         materialize_frontier(spark, FRONTIER_N, table)  # untimed setup: the standing frontier table
+    # one untimed warm epoch (identical literals) primes whole-stage
+    # codegen + JIT — steady-state epochs reuse compiled plans, and the
+    # steady state is what the metric tracks (scripts/frontier_job.py
+    # uses the same protocol; cold-JIT swings are ±5-10 s on this VM)
+    run_noop(full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N))
+    spark.catalog.clearCache()
+    t0 = time.time()
     queries["frontier_epoch"] = run_noop(
         full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N)
     )
