@@ -241,6 +241,18 @@ def q_scope_publish(spark, sf_dir):
     return local.unionByName(glob)
 
 
+def q_dense_seq(spark, sf_dir):
+    """Dense queue-tail seq assignment at scale (S5/S10 enqueue order —
+    skew.py::dense_global_seq): range-partitioned two-phase rank, no
+    single-partition sort at any batch size; oracle = ROW_NUMBER() over
+    the same total order."""
+    from crawler_spark.operators.skew import dense_global_seq
+
+    o = _t(spark, sf_dir, "orders")
+    sl = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey", "o_orderpriority")
+    return dense_global_seq(sl, ["o_orderpriority", "o_orderkey"], "seq", start=1000)
+
+
 def q_visitor_expand(spark, sf_dir):
     """Visitor-map expansion: broadcast inner join + count fan-out."""
     n = _t(spark, sf_dir, "nation")
@@ -1499,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_backoff_routing": q_backoff_routing,
         "q_queue_counts": q_queue_counts,
         "q_scope_publish": q_scope_publish,
+        "q_dense_seq": q_dense_seq,
         "q_visitor_expand": q_visitor_expand,
         "q_latest_maxby": q_latest_maxby,
         "q_fetch_join": q_fetch_join,
@@ -1654,6 +1667,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority AS queue, count(*) AS n,
                    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
             FROM orders GROUP BY o_orderpriority
+        """,
+        "q_dense_seq": """
+            SELECT o_orderkey, o_orderpriority,
+              ROW_NUMBER() OVER (ORDER BY o_orderpriority, o_orderkey) + 999 AS seq
+            FROM orders WHERE o_orderkey % 3 = 0
         """,
         "q_scope_publish": """
             SELECT c_custkey, 'local' AS scope FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -32,10 +32,10 @@ DataFrame DAG committed atomically to the snapshot store:
 7. **commit** — one atomic snapshot replacing {frontier, seen} and
    appending {documents, schedule_log, deadletters, epoch_metrics}.
 
-Scale notes: the only non-partitioned window is the enqueued_seq
-assignment over the epoch's *new* rows (bounded by batch_budget × fanout,
-not frontier size); every other window partitions by host or
-(scope,queue). The registry-name dim join is a hash join on
+Scale notes: enqueued_seq assignment over the epoch's *new* rows uses a
+range-partitioned two-phase dense rank (skew.py::dense_global_seq — no
+single-partition sort at any batch size); every window partitions by
+host or (scope,queue). The registry-name dim join is a hash join on
 (provider,namespace,name) — broadcast when small. Hot-host skew is
 handled by AQE skew-join plus the `salt` column for the budget window
 (see scheduler notes in SURVEY.md §4).
@@ -200,10 +200,12 @@ def enqueue_batch(
     )
     unseen = unseen.drop("_skey", "_krank", "_ex")
     accepted = unseen.unionByName(requeued.select(*unseen.columns))
-    w_seq = Window.orderBy(*okey)  # epoch-batch sized; see module scale note
-    accepted = accepted.withColumn(
-        "enqueued_seq", (F.row_number().over(w_seq) - 1 + F.lit(next_seq)).cast("long")
-    )
+    # dense queue-tail seqs in reference push order, without a
+    # single-partition sort (range-partitioned two-phase rank — the
+    # 10^8-row-batch-safe form; operators/skew.py::dense_global_seq)
+    from crawler_spark.operators.skew import dense_global_seq
+
+    accepted = dense_global_seq(accepted, okey, "enqueued_seq", next_seq)
     new_frontier = accepted.select(*FRONTIER_COLS)
     new_seen = new_seen.select(
         _seen_key(F.col("type"), F.col("url")).alias("seen_key"),

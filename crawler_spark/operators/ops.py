@@ -17,11 +17,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.coordinates import host_for_provider, with_parsed_coordinates
 from crawler_spark.operators.seenset import FILTER_SCHEMA, CuckooFilter
+from crawler_spark.operators.skew import dense_global_seq
 from crawler_spark.storage.snapshots import SnapshotStore
 
 
@@ -66,9 +67,8 @@ def publish_local(store: SnapshotStore, epoch: int) -> int:
         *[F.when(F.col("queue") == q, F.lit(i)) for i, q in enumerate(QUEUE_NAMES)],
         F.lit(len(QUEUE_NAMES)),
     )
-    w = Window.orderBy(qorder, "enqueued_seq")
-    moved = local.withColumn(
-        "enqueued_seq", (F.row_number().over(w) - 1 + F.lit(next_seq)).cast("long")
+    moved = dense_global_seq(
+        local, [qorder, F.col("enqueued_seq")], "enqueued_seq", next_seq
     ).withColumn("scope", F.lit("global"))
     n = moved.count()
     store.commit(
@@ -97,7 +97,6 @@ def requeue_deadletters(
     skey = F.concat(F.col("request_type"), F.lit("@"), F.col("canonical_url"))
     # next_seq continues from the stored high-water mark
     next_seq = int(store.snapshot().meta.get("next_seq", 0))
-    w = F.row_number().over(Window.orderBy("canonical_url", "request_type"))
     entries = parsed.select(
         F.col("canonical_url").alias("url"),
         F.col("request_type").alias("type"),
@@ -110,9 +109,13 @@ def requeue_deadletters(
         F.lit(0).alias("attempt_count"),
         F.lit(epoch + 1).alias("not_before_epoch"),
         F.lit(-1).alias("parent_epoch"),
-        (w - 1 + F.lit(next_seq)).cast("long").alias("enqueued_seq"),
         F.xxhash64(skey).alias("url_hash"),
     ).dropDuplicates(["type", "url"])
+    # dedup BEFORE seq assignment: every requeued coordinate gets exactly
+    # one dense tail seq in (url, type) order (the old shape ranked the
+    # raw rows first, so duplicate deadletters left gaps and kept an
+    # arbitrary survivor's seq)
+    entries = dense_global_seq(entries, ["url", "type"], "enqueued_seq", next_seq)
     n = entries.count()
 
     removed_keys = parsed.select(skey.alias("seen_key")).distinct()

@@ -55,3 +55,40 @@ def test_global_topk_handles_k_geq_n(spark):
     got = global_topk_by_key(df, "key", 100, rank_col="r").collect()
     assert len(got) == 10
     assert sorted((r["key"], r["r"]) for r in got) == [(i, i + 1) for i in range(10)]
+
+
+def test_dense_global_seq_matches_single_window(spark):
+    """dense_global_seq == row_number().over(Window.orderBy(...)) - 1 +
+    start, on multi-partition unordered input with composite keys."""
+    from crawler_spark.operators.skew import dense_global_seq
+
+    df = (
+        spark.range(0, 10_000, 1, 16)
+        .select(
+            (F.xxhash64("id") % 97).alias("grp"),
+            F.xxhash64("id", F.lit(1)).alias("sub"),
+            F.col("id").alias("payload"),
+        )
+    )
+    got = dense_global_seq(df, ["grp", "sub"], "seq", start=500)
+    rows = got.collect()
+    assert len(rows) == 10_000
+    by_key = sorted(rows, key=lambda r: (r["grp"], r["sub"]))
+    assert [r["seq"] for r in by_key] == list(range(500, 10_500))
+    # payload rides along untouched, no helper columns leak
+    assert set(got.columns) == {"grp", "sub", "payload", "seq"}
+
+
+def test_dense_global_seq_expression_keys_and_overwrite(spark):
+    """Column-expression order keys; seq_col may overwrite one of the
+    ordering columns (the publish_local shape)."""
+    from crawler_spark.operators.skew import dense_global_seq
+
+    df = spark.createDataFrame(
+        [("later", 7), ("soon", 3), ("normal", 5), ("soon", 1), ("later", 2)],
+        "queue string, enqueued_seq long",
+    )
+    qorder = F.when(F.col("queue") == "soon", 0).when(F.col("queue") == "normal", 1).otherwise(2)
+    out = dense_global_seq(df, [qorder, F.col("enqueued_seq")], "enqueued_seq", start=100)
+    got = sorted((r["queue"], r["enqueued_seq"]) for r in out.collect())
+    assert got == [("later", 103), ("later", 104), ("normal", 102), ("soon", 100), ("soon", 101)]
