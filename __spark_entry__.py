@@ -1496,11 +1496,34 @@ def q_winnow_fingerprints(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_import_path()
-    return q_schedule_epoch(spark, "/root/testdata/sf0.001")
+    return _utc_session(q_schedule_epoch)(spark, "/root/testdata/sf0.001")
+
+
+def _utc_session(fn):
+    """Timestamp determinism against ANY driver-created session: queries
+    with absolute instants (epoch-ms → timestamp, 'Z'/offset ISO parses)
+    collect session-TZ-local datetimes, so a non-UTC driver session would
+    shift them against the DuckDB oracle (which is TZ-less/UTC). Pin the
+    session to UTC at call time — same setting our own get_spark uses."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:  # pragma: no cover — read-only conf harness
+            pass
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_import_path()
+    return {k: _utc_session(f) for k, f in _RAW_QUERIES().items()}
+
+
+def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_schedule_epoch": q_schedule_epoch,
         "q_scan_project": q_scan_project,

@@ -136,3 +136,18 @@ def test_self_runner_emits_json_lines(tmp_path):
     assert lines[0]["query"] == "q_scan_project" and lines[0]["rows"] > 0
     assert len(lines[0]["value_hash"]) == 64
     assert lines[-1]["result"] == "OK"
+
+
+def test_queries_pin_session_timezone_to_utc(spark):
+    """A driver-created session may not be UTC; absolute-instant queries
+    (epoch-ms timestamps, 'Z' ISO parses) would collect shifted local
+    datetimes and hash-mismatch the TZ-less DuckDB oracle. queries()
+    wraps every callable to pin UTC at call time."""
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = entrymod.queries()["q_date_parse"](spark, SF_DIR)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        df.limit(1).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
