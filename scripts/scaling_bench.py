@@ -32,7 +32,8 @@ def run_once(n: int, cpus: int, batch: int) -> dict:
     job = [os.path.join(REPO, "scripts", "frontier_job.py"), str(n), str(cpus), str(batch),
            f"{tdir}/frontier_bench_{n}"]
     if os.environ.get("SPARK_GRAFT_SUBMIT") == "1":
-        from scripts.package_pyfiles import build
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from package_pyfiles import build
 
         zip_path = build("/tmp/crawler_spark_pyfiles.zip")
         cmd = ["spark-submit", "--master", f"local[{cpus}]", "--py-files", zip_path] + job
