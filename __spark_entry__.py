@@ -1372,6 +1372,18 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=1000)
 
 
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """EXACT 3-gram Jaccard ≥ 0.5 via the AllPairs/PPJoin prefix filter —
+    the scale-safe exact path: the self-join touches only each doc's
+    rarest-(|d|-ceil(t·|d|)+1) shingles (provably complete candidates),
+    then verifies with array_intersect. Same values as the unguarded
+    all-pairs form; the oracle states full exact Jaccard."""
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash(64)+LSH(16×4) near-dup pairs ≥ 0.5 — rows-only oracle
     (xxhash64 not available in DuckDB)."""
@@ -1574,6 +1586,7 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "q_minhash_near_dups": q_minhash_near_dups,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_token_quality": q_token_quality,
@@ -2545,6 +2558,28 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY fp) AS representative_id,
                    count(*) OVER (PARTITION BY fp) AS n_members
             FROM fp
+        """,
+        # full exact jaccard, no stop-shingle guard: the prefix filter is
+        # lossless so the Spark side must reproduce the unguarded answer
+        "q_ngram_jaccard_prefix": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, {toks} AS t FROM documents),
+            sh AS (
+              SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+              FROM toks WHERE len(t) >= 3),
+            ex AS (SELECT id, unnest(grams) AS g FROM sh),
+            sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
         """,
         "q_ngram_jaccard": f"""
             WITH toks AS (

@@ -249,7 +249,11 @@ def main():
     qs = entrymod.queries()
     for name in (
         "q_schedule_epoch", "q_fetch_join", "q_latest_maxby", "q_minhash_near_dups",
-        "q_ngram_jaccard", "q_cosine_topk", "q_embed_near_pairs_lsh",
+        # exact-Jaccard headline is the prefix-filtered (AllPairs/PPJoin)
+        # form — identical values to q_ngram_jaccard without the guard,
+        # and the only exact variant that survives 100×; the guarded
+        # all-shared-shingles form stays an oracle-only query
+        "q_ngram_jaccard_prefix", "q_cosine_topk", "q_embed_near_pairs_lsh",
         "q_token_quality", "q_langid", "q_dedup_fingerprint", "q_media_decode",
         "q_source_discovery", "q_maven_pom_merge", "q_manifest_discovery",
         "q_dedup_clusters",

@@ -177,6 +177,92 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard ≥ threshold with a PROVABLY COMPLETE
+    prefix-filter candidate join (AllPairs/PPJoin bound) — the scale-safe
+    form of `ngram_jaccard_pairs`: identical output, but the self-join
+    touches only each document's rarest-`p` shingles instead of all of
+    them.
+
+    Bound: under ANY global shingle order, two shingle sets with overlap
+    ≥ α share an element within their (|x|-α+1)-prefixes. For J ≥ t and
+    the length filter t·max(|a|,|b|) ≤ min(|a|,|b|), overlap ≥ ceil(t·|x|)
+    holds for both docs, so joining prefixes of length
+    |x| - ceil(t·|x|) + 1 misses no qualifying pair. Candidates verify
+    exactly with `array_intersect` over the full sorted arrays — no
+    probabilistic recall anywhere.
+
+    The global order is rarest-first (doc-frequency, then shingle) —
+    the AllPairs heuristic: prefixes hold each doc's rarest shingles, so
+    candidate lists per join key stay small; a globally-hot shingle sits
+    at the ORDER's tail and only enters a prefix for a doc that has
+    almost nothing rarer. Shuffles: one df-count agg, one per-doc sort
+    agg, the prefix equi-join (uniform rare keys), one verify join keyed
+    on the pair ids. The per-doc shingle table persists once and serves
+    the sort, both join sides, and the verify.
+    """
+    from pyspark import StorageLevel
+
+    t = float(threshold)
+    # persist the compact per-doc arrays BEFORE any explode, and add NO
+    # size filter above them: a size(sh)>0 filter (explicit or
+    # explode-inferred) is pushed below the spread exchange with the whole
+    # shingle HOF inlined — a single-task stage recomputing every shingle
+    # on one core (measured 10.9 s vs 0.5 s at sf0.1). Shingle-less docs
+    # simply contribute no explode rows and drop out of ssh naturally.
+    sh = _tokenized(df, id_col, text_col, n).select(
+        "id", shingles_from_tokens(F.col("_toks"), n).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # rarest-first total order: sort each doc's shingles by (df, shingle)
+    ssh = (
+        ex.join(freq, "g")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "g"))), lambda s: s["g"]
+            ).alias("ssh")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    size = F.size("ssh")
+    p = (size - F.ceil(F.lit(t) * size) + 1).cast("int")
+    pre = ssh.select(
+        "id", size.alias("n_sh"), F.explode(F.slice("ssh", F.lit(1), p)).alias("g")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            # J ≥ t requires t·max ≤ min — prunes before the distinct
+            & (F.col("b.n_sh") >= F.lit(t) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(t) * F.col("b.n_sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = ssh.select(F.col("id").alias("id_a"), F.col("ssh").alias("_sa"), F.size("ssh").alias("n_a"))
+    sb = ssh.select(F.col("id").alias("id_b"), F.col("ssh").alias("_sb"), F.size("ssh").alias("n_b"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------

@@ -141,3 +141,25 @@ def test_dedup_on_testdata_documents(spark, sf_dir):
     n_after = dedup_exact(docs, "doc_id", "text").count()
     n_dup_members = dups.agg(F.coalesce(F.sum(F.col("n_members") - 1), F.lit(0))).collect()[0][0]
     assert n_after == n_docs - n_dup_members
+
+
+def test_prefix_jaccard_equals_allpairs(spark):
+    """Prefix-filtered exact Jaccard returns EXACTLY the unguarded
+    all-shared-shingles result (completeness of the AllPairs prefix bound
+    + exact verify) on real documents at two thresholds."""
+    from crawler_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.3, 0.5):
+        plain = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=t).collect()
+        }
+        assert pref == plain, (t, len(pref), len(plain))
