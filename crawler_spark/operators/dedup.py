@@ -558,7 +558,14 @@ def near_dup_clusters(
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            # localCheckpoint, not persist: each round's plan references the
+            # previous round's TWICE (the join and the convergence check),
+            # so lineage doubles per round — ~2^rounds analysis cost, and a
+            # >15-round graph overflows Spark's 2^31-char plan string.
+            # Truncating lineage keeps every round's plan O(1). (On a real
+            # cluster with executor loss, swap for checkpoint(dir) — same
+            # contract, reliable storage.)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

@@ -163,3 +163,39 @@ def test_prefix_jaccard_equals_allpairs(spark):
             for r in ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=t).collect()
         }
         assert pref == plain, (t, len(pref), len(plain))
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    """Min-label propagation CC == union-find ground truth on a seeded
+    random graph (chains, stars, cross-links, isolated pairs)."""
+    import random
+
+    from crawler_spark.operators.dedup import near_dup_clusters
+
+    rng = random.Random(7)
+    edges = set()
+    for _ in range(300):
+        a = rng.randrange(500)
+        b = rng.randrange(500)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+
+    parent = list(range(500))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {v: find(v) for v in touched}
+    # canonical label = min member id, which union-by-min guarantees here
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["node"]: r["cluster_id"] for r in near_dup_clusters(df).collect()}
+    assert got == want
