@@ -1296,12 +1296,13 @@ def q_rubygems_fetch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def q_dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTER assignment: connected components (min-label
-    propagation, iterative hash joins) over an edge set built closed-form
-    from doc ids — short chains (i→i+1 runs) bridged by long-range edges
-    — so the DuckDB oracle can state the same components with a recursive
-    CTE. Every doc lands in a cluster; singletons map to themselves."""
+def _dedup_cluster_assignments(spark, sf_dir):
+    """Shared by q_dedup_clusters / q_dedup_keep_best: connected
+    components (min-label propagation, iterative hash joins) over an edge
+    set built closed-form from doc ids — short chains (i→i+1 runs)
+    bridged by long-range edges — so the DuckDB oracle can state the same
+    components with a recursive CTE (the shared `_CC_CTE` fragment).
+    Every doc lands in a cluster; singletons map to themselves."""
     from crawler_spark.operators.dedup import near_dup_clusters
 
     d = _t(spark, sf_dir, "documents")
@@ -1312,8 +1313,14 @@ def q_dedup_clusters(spark, sf_dir):
     )
     clusters = near_dup_clusters(chains.unionByName(bridges))
     return d.join(clusters, d["doc_id"] == clusters["node"], "left").select(
-        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+        "doc_id", "n_chars",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
     )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment (see _dedup_cluster_assignments)."""
+    return _dedup_cluster_assignments(spark, sf_dir).select("doc_id", "cluster_id")
 
 
 def q_dedup_keep_best(spark, sf_dir):
@@ -1322,18 +1329,7 @@ def q_dedup_keep_best(spark, sf_dir):
     was dropped. Composition of `near_dup_clusters` (iterative CC) with
     a single max_by aggregation — no window, one shuffle on cluster_id
     (uniform keys: near-dup clusters are small by construction)."""
-    from crawler_spark.operators.dedup import near_dup_clusters
-
-    d = _t(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    chains = d.filter(i % 10 < 3).select(i.alias("id_a"), (i + 1).alias("id_b"))
-    bridges = d.filter((i % 17 == 0) & (i % 100 != 0)).select(
-        i.alias("id_a"), (i - i % 100).alias("id_b")
-    )
-    clusters = near_dup_clusters(chains.unionByName(bridges))
-    dwc = d.join(clusters, d["doc_id"] == clusters["node"], "left").select(
-        "doc_id", "n_chars", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
-    )
+    dwc = _dedup_cluster_assignments(spark, sf_dir)
     return dwc.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         F.max_by("doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))).alias("rep_id"),
@@ -1626,6 +1622,24 @@ _ORACLE_STOPWORDS: dict[str, tuple[str, ...]] = {
     "es": ("el", "la", "los", "que", "en", "una", "por", "con", "para", "es"),
 }
 _ORACLE_LANGS: tuple[str, ...] = tuple(_ORACLE_STOPWORDS)
+
+
+# shared recursive-CTE fragment: the closed-form near-dup component graph
+# used by BOTH q_dedup_clusters and q_dedup_keep_best (single source of
+# truth for the edge arithmetic — the Spark twin is
+# _dedup_cluster_assignments)
+_CC_CTE = """WITH RECURSIVE e0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3
+              UNION ALL
+              SELECT doc_id, doc_id - doc_id % 100 FROM documents
+              WHERE doc_id % 17 = 0 AND doc_id % 100 <> 0),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            r(node, lbl) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN r ON r.node = e.b),
+            cc AS (SELECT node, min(lbl) AS cluster FROM r GROUP BY node)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2507,38 +2521,16 @@ def oracle_sql() -> dict[str, str]:
         # independent engine: DuckDB computes the same components by
         # transitive closure (recursive CTE) over the same closed-form
         # edge arithmetic, then takes min reachable id per node
-        "q_dedup_clusters": """
-            WITH RECURSIVE e0 AS (
-              SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3
-              UNION ALL
-              SELECT doc_id, doc_id - doc_id % 100 FROM documents
-              WHERE doc_id % 17 = 0 AND doc_id % 100 <> 0),
-            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-            nodes AS (SELECT DISTINCT a AS node FROM edges),
-            r(node, lbl) AS (
-              SELECT node, node FROM nodes
-              UNION
-              SELECT e.a, r.lbl FROM edges e JOIN r ON r.node = e.b),
-            cc AS (SELECT node, min(lbl) AS cluster FROM r GROUP BY node)
+        "q_dedup_clusters": f"""
+            {_CC_CTE}
             SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
         """,
         # same component construction, then per-cluster representative:
         # longest doc, ties broken by lowest id (arg-max emulated with a
         # max-filter self-join so the oracle stays window-free)
-        "q_dedup_keep_best": """
-            WITH RECURSIVE e0 AS (
-              SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3
-              UNION ALL
-              SELECT doc_id, doc_id - doc_id % 100 FROM documents
-              WHERE doc_id % 17 = 0 AND doc_id % 100 <> 0),
-            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-            nodes AS (SELECT DISTINCT a AS node FROM edges),
-            r(node, lbl) AS (
-              SELECT node, node FROM nodes
-              UNION
-              SELECT e.a, r.lbl FROM edges e JOIN r ON r.node = e.b),
-            cc AS (SELECT node, min(lbl) AS cluster FROM r GROUP BY node),
+        "q_dedup_keep_best": f"""
+            {_CC_CTE},
             dwc AS (
               SELECT d.doc_id, d.n_chars, COALESCE(cc.cluster, d.doc_id) AS cluster_id
               FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),

@@ -41,7 +41,6 @@ def git_resolve_revision(specs: DataFrame, refs: DataFrame) -> DataFrame:
     Output: (spec_id, repo, revision, sha) — sha null when unresolvable.
     """
     j = specs.join(refs, "repo", "left")
-    is_full = F.col("revision").rlike(_FULL_SHA)
     is_prefix = F.col("revision").rlike(_HEX_PREFIX)
     ref_hit = F.when(F.col("ref") == F.coalesce(F.col("revision"), F.lit("HEAD")), F.col("sha"))
     prefix_hit = F.when(
@@ -73,7 +72,10 @@ def git_cased_spec(provider: Column, namespace: Column, name: Column) -> Column:
 
 
 def git_repo_size_kb(count_objects_out: Column) -> Column:
-    """`size-pack: N` (KB) out of `git count-objects -v` output
-    (gitCloner.js:85-88); Number('') → null when the line is absent."""
+    """`size-pack: N` (KB) out of `git count-objects -v` output.
+    The trailing-\\n requirement is REFERENCE-FAITHFUL: gitCloner.js:85-88
+    matches `'size-pack: (.*)\\n'` too (git's own output always ends each
+    stat line with \\n, and the reference would throw on a no-match where
+    this returns null — strictly more robust, same accepted inputs)."""
     ex = F.regexp_extract(count_objects_out, r"size-pack: (\d+)\n", 1)
     return F.when(ex != "", ex.cast("long"))

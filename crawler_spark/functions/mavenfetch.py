@@ -66,19 +66,30 @@ def maven_artifact_extension(
     ).otherwise(F.when(has_jar, ".jar").when(has_aar, ".aar"))
 
 
+def slashed_ns(namespace: Column) -> Column:
+    """`namespace.replace(/\\./g, '/')` — the maven groupId path form."""
+    return F.replace(namespace, F.lit("."), F.lit("/"))
+
+
 def maven_artifact_url(
     provider: Column, namespace: Column, name: Column, revision: Column,
     extension: Column,
+    bases: dict[str, str] | None = None,
 ) -> Column:
-    """_buildUrl over the provider base: `{base}{ns .→/}/{name}/{rev}/
+    """THE maven `_buildUrl` template: `{base}{ns .→/}/{name}/{rev}/
     {name}-{rev}{ext}` (mavenBasedFetch.js:91-98; the `spec.namespace?.`
-    JS quirk renders a missing namespace as the literal 'undefined')."""
+    JS quirk renders a missing namespace as the literal 'undefined').
+    The reference shares one _buildUrl across fetchers with per-fetcher
+    provider→base maps, and sourceSpec.toUrl delegates to them
+    (sourceSpec.js:48-51) — `bases` mirrors that: fetch paths use the
+    full 3-provider map, source rendering passes its own."""
+    bases = MAVEN_BASES if bases is None else bases
     base = F.coalesce(
-        *[F.when(provider == p, F.lit(b)) for p, b in MAVEN_BASES.items()]
+        *[F.when(provider == p, F.lit(b)) for p, b in bases.items()]
     )
     return F.concat(
         base,
-        F.coalesce(F.replace(namespace, F.lit("."), F.lit("/")), F.lit("undefined")),
+        F.coalesce(slashed_ns(namespace), F.lit("undefined")),
         F.lit("/"), name, F.lit("/"), revision, F.lit("/"),
         name, F.lit("-"), revision, extension,
     )

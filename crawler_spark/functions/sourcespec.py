@@ -20,15 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.mavenfetch import maven_artifact_url, slashed_ns
+
 _GIT_HOSTS = {"github": "https://github.com", "gitlab": "https://gitlab.com"}
 _MAVEN_BASES = {
     "mavencentral": "https://search.maven.org/remotecontent?filepath=",
     "mavengoogle": "https://dl.google.com/android/maven2/",
 }
-
-
-def _slashed_ns(namespace: Column) -> Column:
-    return F.replace(namespace, F.lit("."), F.lit("/"))
 
 
 def source_url(
@@ -44,15 +42,13 @@ def source_url(
         F.coalesce(
             *[F.when(provider == p, F.lit(h)) for p, h in _GIT_HOSTS.items()]
         ),
-        F.lit("/"), _slashed_ns(namespace), F.lit("/"), name, F.lit(".git"),
+        F.lit("/"), slashed_ns(namespace), F.lit("/"), name, F.lit(".git"),
     )
-    maven = F.concat(
-        F.coalesce(
-            *[F.when(provider == p, F.lit(b)) for p, b in _MAVEN_BASES.items()]
-        ),
-        F.coalesce(_slashed_ns(namespace), F.lit("undefined")),  # JS `${undefined}`
-        F.lit("/"), name, F.lit("/"), revision, F.lit("/"),
-        name, F.lit("-"), revision, F.lit(extension),
+    # one shared _buildUrl template (mavenfetch.maven_artifact_url),
+    # sourceSpec's own 2-provider base map — mirrors sourceSpec.js:48-51
+    # delegating to the concrete fetchers' _buildUrl
+    maven = maven_artifact_url(
+        provider, namespace, name, revision, F.lit(extension), bases=_MAVEN_BASES
     )
     built = (
         F.when(provider.isin(*_GIT_HOSTS), git)

@@ -232,8 +232,14 @@ def ngram_jaccard_pairs_prefix(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # ε relaxes every pruning bound toward INCLUSION: float products like
+    # 0.07·100 = 7.000000000000001 would otherwise shorten a prefix /
+    # drop a boundary pair that exact rational arithmetic keeps (the
+    # verify step is exact, so over-admitting candidates never costs
+    # correctness — only a few extra verifications)
+    eps = 1e-9
     size = F.size("ssh")
-    p = (size - F.ceil(F.lit(t) * size) + 1).cast("int")
+    p = (size - F.ceil(F.lit(t) * size - F.lit(eps)) + 1).cast("int")
     pre = ssh.select(
         "id", size.alias("n_sh"), F.explode(F.slice("ssh", F.lit(1), p)).alias("g")
     )
@@ -244,8 +250,8 @@ def ngram_jaccard_pairs_prefix(
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id"))
             # J ≥ t requires t·max ≤ min — prunes before the distinct
-            & (F.col("b.n_sh") >= F.lit(t) * F.col("a.n_sh"))
-            & (F.col("a.n_sh") >= F.lit(t) * F.col("b.n_sh")),
+            & (F.col("b.n_sh") >= F.lit(t) * F.col("a.n_sh") - F.lit(eps))
+            & (F.col("a.n_sh") >= F.lit(t) * F.col("b.n_sh") - F.lit(eps)),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -573,6 +579,12 @@ def near_dup_clusters(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # frees the round-0 persist; for checkpointed rounds (≥1) this is
+        # a no-op — their blocks are reclaimed by the ContextCleaner when
+        # the old RDDs go unreferenced. Bounded exposure: label tables are
+        # one row per touched node and near-dup graphs converge in ~3-6
+        # rounds; a long-lived session doing MANY cluster runs should
+        # prefer checkpoint(dir) (reliable + explicitly cleanable).
         labels.unpersist()
         labels = new_labels
         if changed == 0:

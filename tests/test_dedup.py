@@ -153,7 +153,9 @@ def test_prefix_jaccard_equals_allpairs(spark):
     )
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    for t in (0.3, 0.5):
+    # 0.07 exercises the float-boundary class (0.07·100 = 7.0000000000000001
+    # would drop exact-boundary pairs without the ε relaxation)
+    for t in (0.07, 0.3, 0.5):
         plain = {
             (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
             for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=t).collect()
