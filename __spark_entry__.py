@@ -1507,12 +1507,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return _utc_session(q_schedule_epoch)(spark, "/root/testdata/sf0.001")
 
 
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark) -> None:
+    """Make `crawler_spark` importable on PYTHON WORKERS of any
+    driver-created session: the sys.path pins above fix only the DRIVER
+    process — mapInPandas/applyInPandas workers resolve the package from
+    their own interpreter, which knows nothing about /root/repo unless
+    PYTHONPATH was exported. addPyFile ships the package zip exactly the
+    way `spark-submit --py-files` would (idempotent per application)."""
+    try:
+        key = spark.sparkContext.applicationId
+        if key in _PYFILES_SHIPPED:
+            return
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.join(_REPO_ROOT, "crawler_spark")
+        if not os.path.isdir(pkg_dir):
+            return
+        # key the artifact by the package's newest source mtime so a
+        # cached zip can never ship stale code into the workers
+        stamp = 0
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    stamp = max(stamp, int(os.path.getmtime(os.path.join(root, f))))
+        out = os.path.join(
+            tempfile.gettempdir(), f"crawler_spark_pyfiles_entry_{stamp}.zip"
+        )
+        if not os.path.exists(out):
+            with zipfile.ZipFile(out, "w") as z:
+                for root, _, files in os.walk(pkg_dir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            z.write(full, os.path.relpath(full, _REPO_ROOT))
+        spark.sparkContext.addPyFile(out)
+        _PYFILES_SHIPPED.add(key)
+    except Exception:  # pragma: no cover — never fail a query over shipping
+        pass
+
+
 def _utc_session(fn):
-    """Timestamp determinism against ANY driver-created session: queries
-    with absolute instants (epoch-ms → timestamp, 'Z'/offset ISO parses)
-    collect session-TZ-local datetimes, so a non-UTC driver session would
-    shift them against the DuckDB oracle (which is TZ-less/UTC). Pin the
-    session to UTC at call time — same setting our own get_spark uses."""
+    """Robustness against ANY driver-created session: (a) queries with
+    absolute instants (epoch-ms → timestamp, 'Z'/offset ISO parses)
+    collect session-TZ-local datetimes, so a non-UTC session would shift
+    them against the DuckDB oracle (TZ-less/UTC) — pin UTC at call time;
+    (b) ship the package zip to python workers (see _ship_package)."""
     import functools
 
     @functools.wraps(fn)
@@ -1521,6 +1564,7 @@ def _utc_session(fn):
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:  # pragma: no cover — read-only conf harness
             pass
+        _ship_package(spark)
         return fn(spark, sf_dir)
 
     return wrapped

@@ -151,3 +151,37 @@ def test_queries_pin_session_timezone_to_utc(spark):
         df.limit(1).collect()
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_entry_python_workers_without_pythonpath(tmp_path):
+    """The strongest driver-simulation: copied entry file, foreign cwd,
+    NO PYTHONPATH, hostile session conf. Python workers (mapInPandas in
+    q_media_decode) must still import crawler_spark — the entry wrapper
+    ships the package zip via addPyFile (the --py-files mechanism);
+    driver-side sys.path pins alone cannot fix workers."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "driver_sim.py"
+    script.write_text(
+        "import importlib.util, shutil, os\n"
+        "shutil.copy('/root/repo/__spark_entry__.py', 'entry_copy.py')\n"
+        "spec = importlib.util.spec_from_file_location('entry_copy', 'entry_copy.py')\n"
+        "mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "  .config('spark.sql.session.timeZone', 'America/New_York')\n"
+        "  .config('spark.sql.shuffle.partitions', '2')\n"
+        "  .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "n = mod.queries()['q_media_decode'](spark, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('WORKER-IMPORT-OK', n)\n"
+        "spark.stop()\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=300, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert "WORKER-IMPORT-OK" in out.stdout
