@@ -240,6 +240,13 @@ def main():
     # uses the same protocol; cold-JIT swings are ±5-10 s on this VM)
     run_noop(full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N))
     spark.catalog.clearCache()
+    # warm the Python-worker/Arrow path the same way (the seen-set probe is
+    # the process's first applyInPandas otherwise: worker-pool spawn + Arrow
+    # codec JIT added ~2.5-4 s to the r3 timed number; isolated steady state
+    # is ~3 s — see BASELINE.md round-4 section). In the engine the probe
+    # runs every epoch, so steady state is the representative measurement.
+    run_noop(seen_bloom_job(spark))
+    spark.catalog.clearCache()
     t0 = time.time()
     queries["frontier_epoch"] = run_noop(
         full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N)

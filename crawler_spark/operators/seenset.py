@@ -337,8 +337,21 @@ def filtered_anti_join(
     The anti-join's probe side shrinks from |candidates| to
     |hits|·(1+fpp) — at 10^10 seen keys the exact table is huge, but the
     join now only shuffles the small maybe-seen slice against it.
+
+    `probed` is persisted (memory-and-disk) because both output branches
+    consume it: without the persist the whole filter-build + cogroup
+    probe executes twice in one action (the suspect branch's shuffle-map
+    stage runs first and populates the cache; the fresh branch then reads
+    it). The cached set is one epoch's candidate batch plus a boolean —
+    bounded by batch size, not by the seen set — so it spills safely at
+    scale. Callers release it via spark.catalog.clearCache() or by
+    unpersisting after the consuming action.
     """
-    probed = probe_candidates(candidates, filters, cand_key, n_partitions)
+    from pyspark.storagelevel import StorageLevel
+
+    probed = probe_candidates(candidates, filters, cand_key, n_partitions).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified = suspect.join(
