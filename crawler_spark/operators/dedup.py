@@ -81,6 +81,88 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# crawl-documents integration: spans table → deduped representative set
+# ---------------------------------------------------------------------------
+
+
+def doc_text(spans: Column) -> Column:
+    """Canonical text of a crawl document: its text spans concatenated in
+    offset order, newline-separated (media spans contribute nothing).
+    Matches the simulator's `_doc_text_py` byte-for-byte."""
+    txt = F.filter(spans, lambda s: s["kind"] == F.lit("text"))
+    srt = F.array_sort(
+        txt,
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return F.concat_ws("\n", F.transform(srt, lambda s: s["text"]))
+
+
+def dedup_documents(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Near-dup dedup over the engine's `documents` store table (the K1
+    span log) — the training-data step composed with the crawl loop: the
+    reference stops at per-URL dedup (request.js:117-121); a corpus kept
+    for training also needs content-level dedup of what was harvested.
+
+    Pipeline (every stage is the scale-audited operator it names):
+      1. latest store row per doc_id (the table is an append log) — one
+         max_by agg keyed on the uniform doc_id;
+      2. span concat → text (`doc_text`), pure projection;
+      3. exact n-gram Jaccard pairs ≥ threshold via the prefix-filtered
+         AllPairs join (`ngram_jaccard_pairs_prefix`);
+      4. connected components (`near_dup_clusters`); singletons coalesce
+         to their own id;
+      5. keep-best representative per cluster: longest text, ties →
+         lexicographically-lowest doc_id. Window-free: a per-cluster
+         (count, max-chars) agg + an equi-join back on
+         (cluster_id, n_chars = rep_chars) + a min agg — string ids
+         can't ride a single max_by struct, and near-dup clusters are
+         small, so the extra uniform-keyed shuffle is cheap.
+
+    Returns one row per document:
+      (doc_id, cluster_id, n_chars, n_members, is_representative).
+    """
+    latest = docs.groupBy("doc_id").agg(
+        F.max_by("spans", F.struct("epoch", "processed_at_epoch")).alias("spans")
+    )
+    corpus = latest.select(
+        "doc_id", doc_text(F.col("spans")).alias("text")
+    ).withColumn("n_chars", F.length("text"))
+    pairs = ngram_jaccard_pairs_prefix(corpus, "doc_id", "text", n=n, threshold=threshold)
+    clusters = near_dup_clusters(pairs)
+    assigned = (
+        corpus.join(clusters, corpus["doc_id"] == clusters["node"], "left")
+        .select(
+            "doc_id", "n_chars",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    grp = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"), F.max("n_chars").alias("rep_chars")
+    )
+    reps = (
+        assigned.join(grp, "cluster_id")
+        .filter(F.col("n_chars") == F.col("rep_chars"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("rep_id"))
+    )
+    # cluster tables are one row per cluster — O(corpus) rows, so these
+    # stay ordinary uniform-keyed shuffle joins (NOT broadcast: at 10^10
+    # docs the cluster side is nearly as large as the doc side)
+    return (
+        assigned.join(grp.select("cluster_id", "n_members"), "cluster_id")
+        .join(reps, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "n_chars", "n_members",
+            (F.col("doc_id") == F.col("rep_id")).alias("is_representative"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 

@@ -924,3 +924,15 @@ class CrawlEngine:
                 break
             all_metrics.append(self.run_epoch(epoch))
         return all_metrics
+
+    # ------------------------------------------------------------------
+    def dedup_documents(self, threshold: float = 0.5, n: int = 3) -> DataFrame:
+        """Training-data layer composed with the crawl loop: near-dup
+        clustering + keep-best representative over THIS crawl's harvested
+        document spans (the K1 store table) — not a side corpus. Exact
+        mirror: `simulator.dedup_documents_py` (parity-tested in
+        tests/test_engine_parity.py::test_dedup_documents_parity)."""
+        from crawler_spark.operators.dedup import dedup_documents
+
+        docs = self.store.read("documents")
+        return dedup_documents(docs, threshold=threshold, n=n)

@@ -569,3 +569,80 @@ class CrawlSimulator:
             epoch += 1
         self.res.epochs_run = epoch
         return self.res
+
+
+# ---------------------------------------------------------------------------
+# training-data mirror: pure-Python corpus dedup over simulator documents
+# (golden oracle for CrawlEngine.dedup_documents / operators.dedup.
+# dedup_documents — same tokenization, same exact Jaccard, same
+# min-label components, same keep-best tie-breaks)
+# ---------------------------------------------------------------------------
+
+_TOKEN_CLEAN_RE = re.compile(r"[^a-z0-9 ]")
+_TOKEN_SPLIT_RE = re.compile(r" +")
+
+
+def _doc_text_py(spans: list[dict]) -> str:
+    """Mirror of operators.dedup.doc_text: text spans in offset order,
+    newline-joined."""
+    txt = sorted((s for s in spans if s["kind"] == "text"), key=lambda s: s["offset"])
+    return "\n".join(s["text"] for s in txt)
+
+
+def _shingles_py(text: str, n: int) -> set[str]:
+    toks = [t for t in _TOKEN_SPLIT_RE.split(_TOKEN_CLEAN_RE.sub(" ", text.lower())) if t]
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def dedup_documents_py(
+    documents: dict[str, dict], threshold: float = 0.5, n: int = 3
+) -> list[dict]:
+    """All-pairs exact n-gram Jaccard ≥ threshold → union-find components
+    (cluster_id = min member id) → keep-best representative (longest text,
+    ties → lowest doc_id). Returns one row per document, sorted by doc_id:
+    {doc_id, cluster_id, n_chars, n_members, is_representative}."""
+    texts = {k: _doc_text_py(v["spans"]) for k, v in documents.items()}
+    sh = {k: _shingles_py(t, n) for k, t in texts.items()}
+    ids = sorted(texts)
+    parent = {k: k for k in ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the min id as the root so cluster_id = min member id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    withsh = [k for k in ids if sh[k]]
+    for i, a in enumerate(withsh):
+        for b in withsh[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= threshold:
+                union(a, b)
+
+    clusters: dict[str, list[str]] = {}
+    for k in ids:
+        clusters.setdefault(find(k), []).append(k)
+    out = []
+    for root, members in clusters.items():
+        rep_chars = max(len(texts[m]) for m in members)
+        rep_id = min(m for m in members if len(texts[m]) == rep_chars)
+        for m in members:
+            out.append(
+                {
+                    "doc_id": m,
+                    "cluster_id": root,
+                    "n_chars": len(texts[m]),
+                    "n_members": len(members),
+                    "is_representative": m == rep_id,
+                }
+            )
+    return sorted(out, key=lambda r: r["doc_id"])

@@ -121,6 +121,44 @@ def test_outcome_coverage(sim_result):
     assert "component" in types and "package" in types and "licensee" in types
 
 
+def test_dedup_documents_parity(spark, fixture_rows, sim_result, spark_run):
+    """Training-data layer composed with the crawl loop: near-dup
+    clustering + keep-best over the ENGINE'S OWN harvested documents
+    (CrawlEngine.dedup_documents — prefix-filtered exact Jaccard →
+    connected components → representative selection) must equal the
+    pure-Python mirror (simulator.dedup_documents_py: all-pairs Jaccard →
+    union-find) over the simulator's documents."""
+    from crawler_spark.simulator import dedup_documents_py
+
+    reg, _, robots = fixture_rows
+    store, _ = spark_run
+    eng = CrawlEngine(
+        spark, store, registry_df(spark, reg), robots_df(spark, robots),
+        host_budget=HOST_BUDGET, batch_budget=BATCH_BUDGET,
+    )
+    spark_rows = sorted(
+        (
+            (r["doc_id"], r["cluster_id"], r["n_chars"], r["n_members"], r["is_representative"])
+            for r in eng.dedup_documents(threshold=0.5, n=3).collect()
+        )
+    )
+    sim_rows = [
+        (r["doc_id"], r["cluster_id"], r["n_chars"], r["n_members"], r["is_representative"])
+        for r in dedup_documents_py(sim_result.documents, threshold=0.5, n=3)
+    ]
+    assert spark_rows == sim_rows
+    # non-vacuous: the organic crawl yields both real near-dup clusters
+    # (per-subject tool outputs) and singletons, with exactly one
+    # representative per cluster
+    n_members = {r[1]: r[3] for r in sim_rows}
+    assert any(v > 1 for v in n_members.values())
+    assert any(v == 1 for v in n_members.values())
+    reps_per_cluster = {}
+    for r in sim_rows:
+        reps_per_cluster[r[1]] = reps_per_cluster.get(r[1], 0) + (1 if r[4] else 0)
+    assert all(v == 1 for v in reps_per_cluster.values())
+
+
 def test_resume_from_checkpoint(spark, fixture_rows, spark_run, tmp_path_factory):
     """Kill between epochs, rebuild the engine from the snapshot store,
     continue — final frontier/seen/log identical to the uninterrupted run
