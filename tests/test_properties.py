@@ -191,3 +191,69 @@ def test_should_process_matrix_invariants(kind, origin, stored_version, processe
     # monotonicity: bumping the processor version never flips process→skip
     if kind in ("version", "matchOrVersion") and sp:
         assert sim._should_process(kind, origin, stored, cur_version + 1, epoch)
+
+
+# ---------------------------------------------------------------------------
+# extract_date vs luxon semantics (lib/utils.js:70-97): RFC-2822 offset
+# handling, the weekday-strip (no-validation) rule, and the exact
+# [1950-01-01, now+30d] window boundary. Pure driver-side fuzz of the
+# python twin; the Spark chain is held to the same examples in
+# tests/test_toolout.py::test_extract_date_rfc2822_offset_fuzz_parity.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from crawler_spark.functions.dates import extract_date_py
+
+_NOW = _dt.datetime(2026, 1, 1)
+_WINDOW_END = _NOW + _dt.timedelta(days=30)
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+# any 3-letter token: luxon's fromRFC2822 (like email.utils) does NOT
+# validate the weekday against the date — 'Xyz, 01 Nov 2011 ...' parses
+_DOW = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+               min_size=3, max_size=3)
+# RFC-2822 numeric zone: ±HHMM, HH ≤ 14, MM ∈ {00,15,30,45}
+_OFFSET_MIN = st.integers(-14 * 4, 14 * 4).map(lambda q: q * 15)
+
+
+def _rfc2822(instant_local: "_dt.datetime", dow: str, off_min: int, pad_day: bool) -> str:
+    sign = "+" if off_min >= 0 else "-"
+    hh, mm = divmod(abs(off_min), 60)
+    day = f"{instant_local.day:02d}" if pad_day else str(instant_local.day)
+    return (f"{dow}, {day} {_MONTHS[instant_local.month - 1]} {instant_local.year} "
+            f"{instant_local:%H:%M:%S} {sign}{hh:02d}{mm:02d}")
+
+
+@given(instant=st.datetimes(min_value=_dt.datetime(1948, 1, 2),
+                            max_value=_dt.datetime(2027, 6, 1)),
+       dow=_DOW, off_min=_OFFSET_MIN, pad_day=st.booleans())
+@settings(max_examples=400, deadline=None)
+def test_extract_date_rfc2822_offset_normalizes_to_utc(instant, dow, off_min, pad_day):
+    """The rendered wall-clock time is LOCAL to the offset; extractDate
+    returns the UTC instant (luxon normalizes the same way), windowed on
+    the UTC value — and the weekday token is never validated."""
+    instant = instant.replace(microsecond=0)
+    utc = instant - _dt.timedelta(minutes=off_min)
+    got = extract_date_py(_rfc2822(instant, dow, off_min, pad_day), _NOW)
+    if _dt.datetime(1950, 1, 1) <= utc <= _WINDOW_END:
+        assert got == utc
+    else:
+        assert got is None
+
+
+@given(off_min=_OFFSET_MIN, dow=_DOW, delta_s=st.integers(-2, 2))
+@settings(max_examples=200, deadline=None)
+def test_extract_date_window_boundaries_are_inclusive(off_min, dow, delta_s):
+    """utils.js:93-96: instant < 1950-01-01 or > now+30d → null; the
+    boundary instants themselves are kept. Holds for every offset
+    rendering of the same instant."""
+    for boundary, inside in ((_dt.datetime(1950, 1, 1), 1), (_WINDOW_END, -1)):
+        utc = boundary + _dt.timedelta(seconds=delta_s)
+        local = utc + _dt.timedelta(minutes=off_min)
+        got = extract_date_py(_rfc2822(local, dow, off_min, True), _NOW)
+        if delta_s * inside >= 0:
+            assert got == utc, (boundary, delta_s, off_min)
+        else:
+            assert got is None, (boundary, delta_s, off_min)

@@ -187,3 +187,47 @@ def test_source_url_builders(spark):
     assert got[4] == "https://dl.google.com/android/maven2/androidx/core/core/1.1/core-1.1.jar"
     assert got[5] is None
     assert got[6] == "https://given.example/override"
+
+
+def test_extract_date_rfc2822_offset_fuzz_parity(spark):
+    """Spark chain == python twin on fuzzed RFC-2822 strings: arbitrary
+    (even wrong) weekday tokens, the full ±14:00 offset grid, 1/2-digit
+    days, and instants straddling both window boundaries (utils.js:70-97:
+    luxon validates neither the weekday nor the offset sign against the
+    date; the window applies to the UTC instant)."""
+    import datetime as dt
+    import random
+
+    from crawler_spark.functions.dates import extract_date_py
+
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    now = dt.datetime(2026, 1, 1)
+    rng = random.Random(20260817)
+    raws = []
+    for _ in range(300):
+        # cluster instants around the window edges + a broad middle band
+        base = rng.choice([
+            dt.datetime(1950, 1, 1), now + dt.timedelta(days=30),
+            dt.datetime(1949 + rng.randrange(79), 1 + rng.randrange(12),
+                        1 + rng.randrange(28)),
+        ])
+        instant = base + dt.timedelta(minutes=rng.randrange(-1500, 1500),
+                                      seconds=rng.randrange(60))
+        off = rng.randrange(-14 * 4, 14 * 4 + 1) * 15
+        sign = "+" if off >= 0 else "-"
+        hh, mm = divmod(abs(off), 60)
+        dow = "".join(rng.choice("QWERTYUIOPASDFGHJKLZXCVBNM") for _ in range(3))
+        day = f"{instant.day:02d}" if rng.random() < 0.5 else str(instant.day)
+        raws.append(f"{dow}, {day} {months[instant.month - 1]} {instant.year} "
+                    f"{instant:%H:%M:%S} {sign}{hh:02d}{mm:02d}")
+
+    py = [extract_date_py(r, now) for r in raws]
+    df = spark.createDataFrame(list(enumerate(raws)), "i int, raw string")
+    sp = {
+        r["i"]: r["d"]
+        for r in df.select("i", extract_date(F.col("raw"), "2026-01-01 00:00:00").alias("d")).collect()
+    }
+    assert [sp[i] for i in range(len(raws))] == py
+    # non-vacuous: both kept and windowed-out examples occur
+    assert any(p is not None for p in py) and any(p is None for p in py)
