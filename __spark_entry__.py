@@ -443,6 +443,43 @@ def q_du_summary(spark, sf_dir):
     )
 
 
+def q_span_chunking(spark, sf_dir):
+    """K2 large-document path (storageDocStore.js:46-58): span-array
+    chunking — atomic row below the size threshold, greedy whole-span
+    block packing above it (storage/chunking.py). Spans are synthesized
+    deterministically from documents.text (64-char segments, every 5th a
+    media ref) so the DuckDB oracle can replay the identical prefix-sum
+    packing rule; thresholds are scaled down (600/300 bytes) so both
+    paths occur at test sf."""
+    from crawler_spark.storage.chunking import chunk_document_spans, span_bytes
+
+    seg_len = 64
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    idx = F.sequence(F.lit(0), F.floor((F.length("text") - 1) / seg_len).cast("int"))
+
+    def _span(i):
+        seg = F.col("text").substr(i * seg_len + 1, F.lit(seg_len))
+        is_media = i % 5 == F.lit(4)
+        return F.struct(
+            F.when(is_media, "media").otherwise("text").alias("kind"),
+            F.when(~is_media, seg).alias("text"),
+            F.when(is_media, seg).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    spans = d.select("doc_id", F.transform(idx, _span).alias("spans"))
+    chunks = chunk_document_spans(spans, max_bytes=600, block_bytes=300)
+    return chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_seq").cast("long").alias("chunk_seq"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.aggregate(
+            F.transform(F.col("spans"), span_bytes), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("chunk_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-provider fetch-protocol algebra (F2-F15 fidelity layer)
 # ---------------------------------------------------------------------------
@@ -1618,7 +1655,7 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_maven_fetch": q_maven_fetch,
         "q_rubygems_fetch": q_rubygems_fetch,
         "q_file_summary": q_file_summary,
-        "q_interesting_files": q_interesting_files,
+        "q_span_chunking": q_span_chunking,
         "q_licensee_merge": q_licensee_merge,
         "q_coord_parse": q_coord_parse,
         "q_politeness_gate": q_politeness_gate,
@@ -1636,8 +1673,10 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (position 51+): outside the driver's oracle window ---
         # oracle-backed siblings of in-window queries (operator already
         # driver-verified): q_top_paging, q_ngram_jaccard_prefix,
-        # q_coord_parse, q_file_summary, q_dense_seq respectively.
+        # q_coord_parse, q_file_summary, q_dense_seq, and (P16/K3)
+        # q_file_summary+q_media_decode respectively.
         "q_top_slices": q_top_slices,
+        "q_interesting_files": q_interesting_files,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_urn_render": q_urn_render,
         "q_content_hashes": q_content_hashes,
@@ -2524,6 +2563,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY source
+        """,
+        "q_span_chunking": """
+            -- K2 chunking replayed as a window prefix-sum: span size =
+            -- kind octets + payload octets + 16 framing; raw chunk =
+            -- floor(bytes_before / block) when total > max, else 0;
+            -- chunk_seq densified per doc.
+            WITH segs AS (
+              SELECT doc_id, t.i AS off,
+                     substring(text, CAST(t.i*64+1 AS INT), 64) AS seg
+              FROM documents,
+                   LATERAL unnest(generate_series(0,
+                       CAST(floor((length(text)-1)/64) AS BIGINT))) AS t(i)
+              WHERE length(text) > 0),
+            sized AS (
+              SELECT doc_id, off,
+                     CASE WHEN off % 5 = 4 THEN 5 + strlen(seg) + 16
+                          ELSE 4 + strlen(seg) + 16 END AS sz
+              FROM segs),
+            pre AS (
+              SELECT doc_id, off, sz,
+                     COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY off
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bytes_before,
+                     SUM(sz) OVER (PARTITION BY doc_id) AS total
+              FROM sized),
+            tagged AS (
+              SELECT doc_id, off, sz,
+                     CASE WHEN total <= 600 THEN 0
+                          ELSE CAST(floor(bytes_before / 300) AS BIGINT) END AS raw
+              FROM pre),
+            dense AS (
+              SELECT doc_id, sz,
+                     DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY raw) - 1 AS chunk_seq
+              FROM tagged),
+            grouped AS (
+              SELECT doc_id, chunk_seq, count(*) AS n_spans,
+                     CAST(sum(sz) AS BIGINT) AS chunk_bytes
+              FROM dense GROUP BY doc_id, chunk_seq)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(chunk_seq AS BIGINT) AS chunk_seq,
+                   CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+                   CAST(n_spans AS BIGINT) AS n_spans, chunk_bytes
+            FROM grouped
         """,
         "q_source_discovery": """
             WITH req AS (
