@@ -1672,9 +1672,9 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         # --- tail (position 51+): outside the driver's oracle window ---
         # oracle-backed siblings of in-window queries (operator already
-        # driver-verified): q_top_paging, q_ngram_jaccard_prefix,
-        # q_coord_parse, q_file_summary, q_dense_seq, and (P16/K3)
-        # q_file_summary+q_media_decode respectively.
+        # driver-verified by, respectively): q_top_paging (P21),
+        # q_file_summary (P16), q_ngram_jaccard_prefix, q_coord_parse,
+        # q_file_summary+q_media_decode (P16/K3), q_dense_seq (S10).
         "q_top_slices": q_top_slices,
         "q_interesting_files": q_interesting_files,
         "q_ngram_jaccard": q_ngram_jaccard,

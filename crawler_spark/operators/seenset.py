@@ -338,19 +338,22 @@ def filtered_anti_join(
     |hits|·(1+fpp) — at 10^10 seen keys the exact table is huge, but the
     join now only shuffles the small maybe-seen slice against it.
 
-    `probed` is persisted (memory-and-disk) because both output branches
-    consume it: without the persist the whole filter-build + cogroup
-    probe executes twice in one action (the suspect branch's shuffle-map
-    stage runs first and populates the cache; the fresh branch then reads
-    it). The cached set is one epoch's candidate batch plus a boolean —
+    `probed` is materialized once (non-eager localCheckpoint) because both
+    output branches consume it: without it the whole filter-build + cogroup
+    probe executes twice in one action. localCheckpoint rather than persist
+    on purpose: a catalog persist registers a CacheManager entry that only
+    an explicit unpersist/clearCache releases — a per-epoch caller would
+    accumulate one leaked entry per epoch. localCheckpoint blocks live at
+    the RDD layer and the ContextCleaner drops them as soon as the returned
+    DataFrame is garbage-collected, so repeated calls are self-cleaning.
+    The materialized set is one epoch's candidate batch plus a boolean —
     bounded by batch size, not by the seen set — so it spills safely at
-    scale. Callers release it via spark.catalog.clearCache() or by
-    unpersisting after the consuming action.
+    scale. (Cluster caveat: localCheckpoint blocks are not recomputable
+    after executor loss; under dynamic allocation prefer a caller-managed
+    persist + unpersist-after-action instead.)
     """
-    from pyspark.storagelevel import StorageLevel
-
-    probed = probe_candidates(candidates, filters, cand_key, n_partitions).persist(
-        StorageLevel.MEMORY_AND_DISK
+    probed = probe_candidates(candidates, filters, cand_key, n_partitions).localCheckpoint(
+        eager=False
     )
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")

@@ -10,16 +10,21 @@ next span; a single span larger than a block gets its own chunk), while
 small documents stay one atomic row. `reassemble_documents` inverts it
 exactly.
 
-Everything is JVM-side higher-order functions — the chunk assignment is a
-narrow projection (no shuffle); reassembly is one uniform-keyed doc_id
-shuffle. That is what keeps the path viable at 10^10 docs: oversized rows
-never hit a single parquet row-group / shuffle block, and the split cost
-is O(spans) per document.
+The atomic path (≤100 MB — the overwhelming majority) is a narrow
+projection: one `aggregate` fold sums span bytes, no shuffle. Only
+oversized documents take the split path: posexplode → running byte sum
+via a per-document window → block assignment → regroup. That keeps the
+split cost O(spans log spans) per oversized document (the window's
+per-partition sort) instead of the O(spans²) an array-fold prefix sum
+would cost in Catalyst's immutable-array model, and the shuffle it adds
+is proportional to the oversized slice only — at 10^10 docs the >100 MB
+tail is what must never hit a single parquet row-group / shuffle block,
+and it is exactly and only that tail that pays the exchange.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ATOMIC_MAX_BYTES = 100 << 20  # storageDocStore.js:47 SIZE_THRESHOLD
@@ -60,37 +65,51 @@ def chunk_document_spans(
     spans = F.col(spans_col)
     sizes = F.transform(spans, span_bytes)
     total = F.aggregate(sizes, F.lit(0).cast("long"), lambda a, x: a + x)
-    # prefix_before[i] = sum(sizes[:i]) — sequential fold, O(spans)
-    prefix_before = F.aggregate(
-        sizes,
-        F.struct(
-            F.lit(0).cast("long").alias("acc"),
-            F.array().cast("array<long>").alias("pre"),
-        ),
-        lambda a, x: F.struct(
-            (a["acc"] + x).alias("acc"),
-            F.concat(a["pre"], F.array(a["acc"])).alias("pre"),
-        ),
-        lambda a: a["pre"],
+    base = docs.select(F.col(id_col), spans.alias(spans_col)).withColumn("_total", total)
+
+    # atomic path: one fold over the span array, narrow, no shuffle
+    atomic = base.filter(F.col("_total") <= F.lit(max_bytes)).select(
+        F.col(id_col),
+        F.lit(0).alias("chunk_seq"),
+        F.lit(1).alias("n_chunks"),
+        F.col(spans_col),
     )
-    raw_ids = F.transform(prefix_before, lambda b: F.floor(b / F.lit(block_bytes)))
-    # dense renumber (a span wider than a block skips raw ids)
-    dense = F.array_distinct(raw_ids)
-    pairs = F.zip_with(spans, raw_ids, lambda s, c: F.struct(c.alias("c"), s.alias("s")))
-    packed = F.transform(
-        dense,
-        lambda d: F.transform(F.filter(pairs, lambda p: p["c"] == d), lambda p: p["s"]),
-    )
-    chunks = F.when(total <= F.lit(max_bytes), F.array(spans)).otherwise(packed)
-    return (
-        docs.withColumn("_chunks", chunks)
-        .select(
-            F.col(id_col),
-            F.size("_chunks").alias("n_chunks"),
-            F.posexplode("_chunks").alias("chunk_seq", spans_col),
+
+    # split path (oversized tail only): explode, assign each span to the
+    # block its first byte lands in via a per-document running sum —
+    # linear per document, never an array-fold prefix (which copies the
+    # accumulated array per element: O(spans²) in Catalyst)
+    w_seq = Window.partitionBy(id_col).orderBy("_pos")
+    exploded = (
+        base.filter(F.col("_total") > F.lit(max_bytes))
+        .select(F.col(id_col), F.posexplode(spans_col).alias("_pos", "_s"))
+        .withColumn(
+            "_before",
+            F.coalesce(
+                F.sum(span_bytes(F.col("_s"))).over(
+                    w_seq.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
         )
+        .withColumn("_raw", F.floor(F.col("_before") / F.lit(block_bytes)))
+    )
+    grouped = exploded.groupBy(id_col, "_raw").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_s")))),
+            lambda p: p["_s"],
+        ).alias(spans_col)
+    )
+    # dense renumber (a span wider than a block skips raw ids)
+    split = (
+        grouped.withColumn(
+            "chunk_seq",
+            (F.row_number().over(Window.partitionBy(id_col).orderBy("_raw")) - 1),
+        )
+        .withColumn("n_chunks", F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("int"))
         .select(id_col, "chunk_seq", "n_chunks", spans_col)
     )
+    return atomic.unionByName(split)
 
 
 def reassemble_documents(
@@ -109,20 +128,23 @@ def reassemble_documents(
     )
 
 
+def span_bytes_py(s: dict) -> int:
+    """Pure-Python mirror of `span_bytes` — the single source of the
+    'payload octets + 16 framing' measure for parity tests (the SQL oracle
+    inlines the same arithmetic, cited here)."""
+    return (
+        len(s["kind"].encode())
+        + len((s.get("text") or "").encode())
+        + len((s.get("media_ref") or "").encode())
+        + 16
+    )
+
+
 def chunk_spans_py(
     spans: list[dict], max_bytes: int = ATOMIC_MAX_BYTES, block_bytes: int = STREAM_BLOCK_BYTES
 ) -> list[list[dict]]:
     """Pure-Python mirror of `chunk_document_spans` for parity tests."""
-
-    def nbytes(s: dict) -> int:
-        return (
-            len(s["kind"].encode())
-            + len((s.get("text") or "").encode())
-            + len((s.get("media_ref") or "").encode())
-            + 16
-        )
-
-    sizes = [nbytes(s) for s in spans]
+    sizes = [span_bytes_py(s) for s in spans]
     if sum(sizes) <= max_bytes:
         return [list(spans)]
     out: dict[int, list[dict]] = {}

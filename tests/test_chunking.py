@@ -14,6 +14,7 @@ from crawler_spark.storage.chunking import (
     chunk_spans_py,
     reassemble_documents,
     span_bytes,
+    span_bytes_py,
 )
 
 SPAN_SCHEMA = "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>"
@@ -80,12 +81,7 @@ def test_block_packing_bounds(spark):
     assert len(out) > 1
 
     def z(s):
-        return (
-            len(s["kind"].encode())
-            + len((s["text"] or "").encode())
-            + len((s["media_ref"] or "").encode())
-            + 16
-        )
+        return span_bytes_py({"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]})
 
     for r in out:
         chunk_bytes = sum(z(s) for s in r["spans"])

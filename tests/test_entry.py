@@ -19,6 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
 SUBSET = [
     "q_schedule_epoch", "q_coord_parse", "q_cosine_topk",
     "q_semver_latest", "q_langid", "q_media_decode",
+    "q_span_chunking",
 ]
 
 
