@@ -257,3 +257,44 @@ def test_extract_date_window_boundaries_are_inclusive(off_min, dow, delta_s):
             assert got == utc, (boundary, delta_s, off_min)
         else:
             assert got is None, (boundary, delta_s, off_min)
+
+
+# --- K2 span-array chunking (storage/chunking.py py-mirror) ------------------
+
+from crawler_spark.storage.chunking import chunk_spans_py, span_bytes_py
+
+_SPAN = st.builds(
+    dict,
+    kind=st.sampled_from(["text", "media"]),
+    text=st.one_of(st.none(), st.text(max_size=40)),
+    media_ref=st.one_of(st.none(), st.text(alphabet="0123456789abcdef", max_size=16)),
+)
+
+
+@given(
+    spans=st.lists(_SPAN, max_size=60),
+    max_bytes=st.integers(1, 2000),
+    block_bytes=st.integers(1, 2000),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunking_mirror_invariants(spans, max_bytes, block_bytes):
+    """storageDocStore.js:46-58 split rules, for every (threshold, block):
+    concatenating chunks in order reproduces the span sequence exactly;
+    small docs stay atomic; every chunk of a split doc is non-empty and
+    all its spans START in the same block-sized byte window."""
+    chunks = chunk_spans_py(spans, max_bytes=max_bytes, block_bytes=block_bytes)
+    assert [s for c in chunks for s in c] == spans
+    if sum(span_bytes_py(s) for s in spans) <= max_bytes:
+        assert chunks == [spans]
+    else:
+        assert all(chunks)
+        starts, acc = {}, 0
+        for i, s in enumerate(spans):
+            starts[i] = acc
+            acc += span_bytes_py(s)
+        flat_idx = iter(range(len(spans)))
+        for c in chunks:
+            first = starts[next(flat_idx)]
+            blk = first // block_bytes
+            for s in c[1:]:
+                assert starts[next(flat_idx)] // block_bytes == blk
