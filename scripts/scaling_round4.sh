@@ -31,9 +31,21 @@ python scripts/frontier_job.py 256000000 2 32000000 /dev/shm/frontier_bench_2560
 pkill -9 java; sleep 3
 rm -rf /dev/shm/frontier_bench_256000000
 
-# --- same-day pure-CPU ceiling control ---
+# --- same-day pure-CPU ceiling controls (both pairs) ---
 python scripts/cpu_calibration.py > $OUT/cpu_cal.json 2> $OUT/cpu_cal.log
-pkill -9 java; sleep 2
+pkill -9 java; sleep 3
+python scripts/cpu_calibration.py 32000000 2 8 > $OUT/cpu_cal_2_8.json 2> $OUT/cpu_cal_2_8.log
+pkill -9 java; sleep 3
+
+# --- same-day re-anchor of the round-3 2->8 config (128M rows / 16M batch):
+# separates machine-day variance from config effects when comparing rounds ---
+python scripts/frontier_job.py 128000000 8 16000000 /dev/shm/frontier_bench_128000000 3 \
+  > $OUT/128m_8.json 2> $OUT/128m_8.log
+pkill -9 java; sleep 3
+python scripts/frontier_job.py 128000000 2 16000000 /dev/shm/frontier_bench_128000000 3 \
+  > $OUT/128m_2.json 2> $OUT/128m_2.log
+pkill -9 java; sleep 3
+rm -rf /dev/shm/frontier_bench_128000000
 
 echo DONE
 tail -n 1 $OUT/*.json
