@@ -251,7 +251,12 @@ def main():
     queries["frontier_epoch"] = run_noop(
         full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N)
     )
+    # same per-query isolation as the loop below: the epoch's internal
+    # `offered` persist must not sit in executor memory while seen_bloom
+    # (or anything after it) is timed
+    spark.catalog.clearCache()
     queries["seen_bloom"] = run_noop(seen_bloom_job(spark))
+    spark.catalog.clearCache()
 
     qs = entrymod.queries()
     for name in (
