@@ -44,6 +44,19 @@ def run_noop(df) -> float:
     return time.time() - t0
 
 
+def release_caches(spark):
+    """Drop per-query scratch state between measurements: catalog persists
+    via clearCache, plus RDD-layer localCheckpoint blocks (e.g. the
+    seen-set probe's materialized batch), which the CacheManager does NOT
+    track — those need the driver to GC the DataFrame and the
+    ContextCleaner to run, so flush both explicitly."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()  # drop py4j refs so the JVM objects become unreachable
+    spark.sparkContext._jvm.System.gc()
+
+
 def materialize_frontier(spark, n: int, path: str):
     """Write the synthetic frontier as a parquet snapshot (untimed setup —
     in the engine this is the standing frontier table; an epoch READS it)."""
@@ -239,14 +252,14 @@ def main():
     # steady state is what the metric tracks (scripts/frontier_job.py
     # uses the same protocol; cold-JIT swings are ±5-10 s on this VM)
     run_noop(full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N))
-    spark.catalog.clearCache()
+    release_caches(spark)
     # warm the Python-worker/Arrow path the same way (the seen-set probe is
     # the process's first applyInPandas otherwise: worker-pool spawn + Arrow
     # codec JIT added ~2.5-4 s to the r3 timed number; isolated steady state
     # is ~3 s — see BASELINE.md round-4 section). In the engine the probe
     # runs every epoch, so steady state is the representative measurement.
     run_noop(seen_bloom_job(spark))
-    spark.catalog.clearCache()
+    release_caches(spark)
     t0 = time.time()
     queries["frontier_epoch"] = run_noop(
         full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N)
@@ -254,9 +267,9 @@ def main():
     # same per-query isolation as the loop below: the epoch's internal
     # `offered` persist must not sit in executor memory while seen_bloom
     # (or anything after it) is timed
-    spark.catalog.clearCache()
+    release_caches(spark)
     queries["seen_bloom"] = run_noop(seen_bloom_job(spark))
-    spark.catalog.clearCache()
+    release_caches(spark)
 
     qs = entrymod.queries()
     for name in (
@@ -278,7 +291,7 @@ def main():
         # shingle tables) — they are per-query scratch, and letting them
         # accumulate degrades every later measurement (executor memory
         # pressure), which is not what the per-query numbers should show
-        spark.catalog.clearCache()
+        release_caches(spark)
 
     total = time.time() - t0
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -344,8 +344,11 @@ def filtered_anti_join(
     on purpose: a catalog persist registers a CacheManager entry that only
     an explicit unpersist/clearCache releases — a per-epoch caller would
     accumulate one leaked entry per epoch. localCheckpoint blocks live at
-    the RDD layer and the ContextCleaner drops them as soon as the returned
-    DataFrame is garbage-collected, so repeated calls are self-cleaning.
+    the RDD layer and the ContextCleaner drops them once the returned
+    DataFrame is garbage-collected (asynchronously — driver GC plus the
+    cleaner thread; a timing-sensitive caller can force it, see
+    bench.release_caches), so repeated calls are self-cleaning rather
+    than unbounded.
     The materialized set is one epoch's candidate batch plus a boolean —
     bounded by batch size, not by the seen set — so it spills safely at
     scale. (Cluster caveat: localCheckpoint blocks are not recomputable

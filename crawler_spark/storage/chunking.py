@@ -36,9 +36,11 @@ def span_bytes(s: Column) -> Column:
     `JSON.stringify(document).length`; this uses explicit field arithmetic
     so the DuckDB oracle can reproduce it without JSON-escaping drift):
     payload octets + 16 bytes of fixed framing (offset int + kind/ref
-    delimiters)."""
+    delimiters). All three payload fields are null-coalesced so the measure
+    is total: a NULL anywhere would poison the document's aggregate byte
+    total and silently drop the row from both routing branches."""
     return (
-        F.octet_length(s["kind"])
+        F.octet_length(F.coalesce(s["kind"], F.lit("")))
         + F.octet_length(F.coalesce(s["text"], F.lit("")))
         + F.octet_length(F.coalesce(s["media_ref"], F.lit("")))
         + F.lit(16)
@@ -61,6 +63,16 @@ def chunk_document_spans(
     ordered by span position. Spans keep their original relative order;
     other columns are dropped (chunk rows are a storage representation,
     not a query surface).
+
+    Plan shape: the atomic/split branches each scan `docs` and evaluate
+    the size fold, i.e. a file-backed input is read twice (no common
+    Exchange, so Catalyst cannot reuse the scan). That is a deliberate
+    trade: the single-scan alternatives are strictly worse — a full-table
+    repartition to force ReuseExchange shuffles every span once, and an
+    Arrow `mapInPandas` round-trips every span through Python — while a
+    second pruned columnar scan costs only the re-read of (id, spans).
+    Callers chunking an EXPENSIVE non-file source (a long derivation)
+    should persist/localCheckpoint it first.
     """
     spans = F.col(spans_col)
     sizes = F.transform(spans, span_bytes)
@@ -133,7 +145,7 @@ def span_bytes_py(s: dict) -> int:
     'payload octets + 16 framing' measure for parity tests (the SQL oracle
     inlines the same arithmetic, cited here)."""
     return (
-        len(s["kind"].encode())
+        len((s.get("kind") or "").encode())
         + len((s.get("text") or "").encode())
         + len((s.get("media_ref") or "").encode())
         + 16
