@@ -138,3 +138,26 @@ def test_span_bytes_is_payload_plus_framing(spark):
     )
     got = df.select(F.transform("spans", span_bytes).alias("z")).collect()[0]["z"]
     assert got == [4 + 6 + 0 + 16, 5 + 0 + 5 + 16]  # é is 2 octets
+
+
+def test_null_payload_fields_never_drop_a_document(spark):
+    # a NULL kind/text/media_ref must not poison the byte total: the row
+    # routes normally instead of failing both branch filters silently
+    rows = [
+        ("ok", [("text", "abc", None, 0)]),
+        ("null_kind", [(None, "abc", None, 0), ("text", "x" * 600, None, 1)]),
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = chunk_document_spans(df, max_bytes=500, block_bytes=250)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {"ok", "null_kind"}
+    assert len(by_doc["ok"]) == 1 and by_doc["ok"][0]["n_chunks"] == 1
+    # null_kind totals 16 + 3+16+600 > 500 -> split path, spans preserved
+    spans_back = [
+        tuple(s)
+        for r in sorted(by_doc["null_kind"], key=lambda r: r["chunk_seq"])
+        for s in r["spans"]
+    ]
+    assert spans_back == [tuple(s) for s in rows[1][1]]
