@@ -276,18 +276,26 @@ def q_latest_maxby(spark, sf_dir):
 
 
 def q_fetch_join(spark, sf_dir):
-    """Fetch-simulation join shape: multi-table hash join + exact agg."""
+    """Fetch-simulation join shape: multi-table hash join + exact agg.
+
+    The revenue measure is integer cents — floor(x*100+0.5) as BIGINT —
+    written with the identical IEEE-754 double expression on the Spark and
+    DuckDB sides, so the summed value is a bit-identical integer with no
+    decimal/float hashing surface (sums are << 2^63 at any test sf)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(100)
+        + F.lit(0.5)
+    ).cast("long")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(F.sum(cents).alias("revenue_cents"), F.count("*").alias("n_items"))
     )
 
 
@@ -1834,10 +1842,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey
         """,
         "q_fetch_join": """
-            -- outer CAST: DuckDB widens sum(DECIMAL(18,4)) to DECIMAL(38,4);
-            -- Spark's sum over decimal(18,4) yields decimal(28,4).
+            -- integer-cents measure: floor(x*100+0.5) per row, identical
+            -- double arithmetic on both engines -> bit-identical BIGINT sum.
+            -- Outer CAST: DuckDB widens sum(BIGINT) to HUGEINT/DECIMAL(38,0);
+            -- Spark's sum(long) stays BIGINT.
             SELECT n_name,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

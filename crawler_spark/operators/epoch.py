@@ -644,7 +644,12 @@ class CrawlEngine:
             )
 
         # latest store row per doc_id (documents is an append log; the
-        # newest epoch's metadata wins — max_by, no window)
+        # newest epoch's metadata wins — max_by, no window). The key is
+        # (epoch, processed_at_epoch) — the same latest-row key
+        # dedup_documents uses (dedup.py) — so if the log ever held two
+        # rows with one epoch for a doc_id, both consumers deterministically
+        # agree on "latest" (simulator semantics: dict overwrite, last
+        # write wins).
         stored = (
             docs_now.select(
                 "doc_id",
@@ -652,7 +657,12 @@ class CrawlEngine:
                          "processed_at_epoch", "version", "release_date").alias("_d"),
             )
             .groupBy("doc_id")
-            .agg(F.max_by(F.col("_d"), F.col("_d")["epoch"]).alias("_d"))
+            .agg(
+                F.max_by(
+                    F.col("_d"),
+                    F.struct(F.col("_d")["epoch"], F.col("_d")["processed_at_epoch"]),
+                ).alias("_d")
+            )
         )
         stored_subject = stored.select(
             F.col("doc_id").alias("url"),

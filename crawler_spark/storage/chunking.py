@@ -6,9 +6,9 @@ atomically in one call; larger documents stream in 8 MiB blocks. The
 Spark-native analogue keeps a document's interleaved span array row-bounded:
 a row whose spans exceed `max_bytes` is split into multiple chunk rows of
 ~`block_bytes` each (whole spans only — a block boundary rounds up to the
-next span; a single span larger than a block gets its own chunk), while
-small documents stay one atomic row. `reassemble_documents` inverts it
-exactly.
+next span; a span larger than a block ends its chunk, and subsequent spans
+start a new one), while small documents stay one atomic row.
+`reassemble_documents` inverts it exactly.
 
 The atomic path (≤100 MB — the overwhelming majority) is a narrow
 projection: one `aggregate` fold sums span bytes, no shuffle. Only
@@ -74,7 +74,11 @@ def chunk_document_spans(
     Callers chunking an EXPENSIVE non-file source (a long derivation)
     should persist/localCheckpoint it first.
     """
-    spans = F.col(spans_col)
+    # a NULL spans ARRAY (vs NULL span fields, which span_bytes coalesces)
+    # would make _total NULL and the row fail BOTH routing filters —
+    # silently dropping the document; coalesce the array itself to empty
+    spans_type = docs.schema[spans_col].dataType.simpleString()
+    spans = F.coalesce(F.col(spans_col), F.array().cast(spans_type))
     sizes = F.transform(spans, span_bytes)
     total = F.aggregate(sizes, F.lit(0).cast("long"), lambda a, x: a + x)
     base = docs.select(F.col(id_col), spans.alias(spans_col)).withColumn("_total", total)
@@ -156,6 +160,7 @@ def chunk_spans_py(
     spans: list[dict], max_bytes: int = ATOMIC_MAX_BYTES, block_bytes: int = STREAM_BLOCK_BYTES
 ) -> list[list[dict]]:
     """Pure-Python mirror of `chunk_document_spans` for parity tests."""
+    spans = spans if spans is not None else []  # mirror the NULL-array coalesce
     sizes = [span_bytes_py(s) for s in spans]
     if sum(sizes) <= max_bytes:
         return [list(spans)]

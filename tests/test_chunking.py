@@ -161,3 +161,14 @@ def test_null_payload_fields_never_drop_a_document(spark):
         for s in r["spans"]
     ]
     assert spans_back == [tuple(s) for s in rows[1][1]]
+
+
+def test_null_spans_array_never_drops_a_document(spark):
+    # a NULL spans ARRAY (not just null fields) must also route: it
+    # coalesces to empty, totals 0 bytes, and takes the atomic path —
+    # previously _total went NULL and the row failed both branch filters
+    df = spark.createDataFrame([("present", [("text", "abc", None, 0)]), ("absent", None)], SPAN_SCHEMA)
+    out = {r["doc_id"]: r for r in chunk_document_spans(df, max_bytes=500, block_bytes=250).collect()}
+    assert set(out) == {"present", "absent"}
+    assert out["absent"]["n_chunks"] == 1 and out["absent"]["spans"] == []
+    assert chunk_spans_py(None, max_bytes=500, block_bytes=250) == [[]]  # mirror agrees
