@@ -4,9 +4,12 @@ Each ``queries()`` entry exercises one operator family from SURVEY.md §2
 (crawl-engine relational semantics re-expressed over the driver's
 TPC-H-ish tables) or one training-data-pipeline operator
 (dedup / similarity / text analysis / multimodal) from
-``crawler_spark.operators``. ``oracle_sql()`` carries the DuckDB twin;
-operators whose hashing primitives DuckDB lacks (xxhash64-based MinHash /
-SimHash / LSH / IVF) are rows-only per the contract.
+``crawler_spark.operators``. ``oracle_sql()`` carries the DuckDB twin for
+EVERY entry (round 5): operators whose hashing primitives DuckDB lacks
+(xxhash64-based MinHash / SimHash / LSH / IVF / winnowing) emit
+invariant-oracled results — data-derived columns DuckDB reproduces from
+the exact formulations, plus literal-expected invariant flags (subset /
+recall / estimator-error bounds documented per query).
 
 Column names are aliased identically on both sides; all floating results
 are rounded to 6 places (decimal types used where sums must be exact).
@@ -1426,20 +1429,54 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    """MinHash(64)+LSH(16×4) near-dup pairs ≥ 0.5 — rows-only oracle
-    (xxhash64 not available in DuckDB)."""
-    from crawler_spark.operators.dedup import minhash_near_duplicates
+    """MinHash estimator quality, value-oracled (upgraded from rows-only
+    in round 5): over every EXACT 3-gram-Jaccard ≥ 0.5 pair (the fully
+    SQL-expressible pair set q_ngram_jaccard_prefix already oracles),
+    emit the exact jaccard plus a flag that the 64-hash MinHash estimate
+    is within 0.2 of it. DuckDB reproduces the pair set and the jaccard;
+    the bound is a literal (theory: σ = √(J(1−J)/64) ≤ 0.0625, so 0.2 is
+    >3σ; measured max |est−J| is 0.092 at sf0.1, 0.036 at sf0.001/0.01).
+    The raw pair-list operator stays pytest-covered (test_dedup)."""
+    from crawler_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs_prefix
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, "doc_id", "text", threshold=0.5)
+    exact = ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, n=3)
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(64)
+    return (
+        exact.join(sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
+        .select(
+            "id_a", "id_b", "jaccard",
+            (F.abs(est - F.col("jaccard")) <= F.lit(0.2)).cast("int").alias("est_err_le_20"),
+        )
+    )
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash hamming ≤ 3 near-dup pairs — rows-only oracle."""
-    from crawler_spark.operators.dedup import simhash_near_duplicates
+    """SimHash fingerprint quality, value-oracled (upgraded from
+    rows-only in round 5): over every EXACT 3-gram-Jaccard ≥ 0.5 pair,
+    emit the exact jaccard plus a flag that the pair's 64-bit SimHash
+    hamming distance is ≤ 24 — a literal bound 2σ below the
+    random-pair expectation of 32 (measured max over exact pairs: 12 at
+    sf0.1, 9 at sf0.001). The raw hamming-≤-3 pair operator stays
+    pytest-covered (test_dedup)."""
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs_prefix, simhash_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
+    exact = ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
+    fps = simhash_fingerprints(d, "doc_id", "text")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        exact.join(fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a")), "id_a")
+        .join(fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b")), "id_b")
+        .select(
+            "id_a", "id_b", "jaccard",
+            (hamming <= F.lit(24)).cast("int").alias("hamming_le_24"),
+        )
+    )
 
 
 def q_token_quality(spark, sf_dir):
@@ -1494,31 +1531,127 @@ def q_embed_near_pairs(spark, sf_dir):
 
 
 def q_embed_near_pairs_lsh(spark, sf_dir):
-    """Embedding-cosine near-dup pairs ≥ 0.35 with multi-table
-    hyperplane-LSH candidate generation (the 100 TB path: only pairs
-    colliding in ≥1 of 8 sign-buckets are compared exactly). Subset of
-    q_embed_near_pairs — rows-only oracle (xxhash64 planes)."""
-    from crawler_spark.operators.similarity import pairwise_cosine_near_dups
+    """Multi-table hyperplane-LSH near-dup pairs, value-oracled (upgraded
+    from rows-only in round 5) via the subset/recall invariants VERDICT r4
+    called for: the LSH result is BY CONSTRUCTION a subset of the exact
+    pairs (candidates are only filtered, and the final check is the exact
+    cosine), so emit
+      - n_exact_pairs   — data-derived, DuckDB computes it exactly;
+      - lsh_subset_violations — LSH pairs missing from exact (literal 0);
+      - lsh_recall_pct_ge_10  — recall·100 ≥ 10 (literal 1; measured
+        recall 15.6–17.0% across sf0.001/0.01/0.1 at 8 planes × 8 tables
+        with threshold-0.35 pairs — Charikar bound ≈15% at the threshold).
+    The raw pair list stays pytest-covered (test_similarity)."""
+    from crawler_spark.operators.similarity import cosine, pairwise_cosine_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pairwise_cosine_near_dups(emb, threshold=0.35, n_planes=8, n_tables=8)
+    e = emb.filter(F.col("vec_id") < 4096)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("s"))
+        .filter(F.col("s") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    lsh = pairwise_cosine_near_dups(emb, threshold=0.35, n_planes=8, n_tables=8).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(F.count("*").alias("n"))
+    n_viol = lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(F.count("*").alias("v"))
+    n_common = lsh.join(exact, ["id_a", "id_b"], "left_semi").agg(F.count("*").alias("c"))
+    row = F.lit  # shorthand
+    return (
+        n_exact.select(row("n_exact_pairs").alias("check"), F.col("n").cast("long").alias("value"))
+        .unionByName(
+            n_viol.select(row("lsh_subset_violations").alias("check"), F.col("v").cast("long").alias("value"))
+        )
+        .unionByName(
+            n_common.crossJoin(n_exact).select(
+                row("lsh_recall_pct_ge_10").alias("check"),
+                (F.col("c") * 100 >= F.col("n") * 10).cast("long").alias("value"),
+            )
+        )
+    )
 
 
 def q_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH bucket histogram — rows-only oracle."""
+    """Random-hyperplane LSH bucket histogram, value-oracled (upgraded
+    from rows-only in round 5) through its structural invariants: every
+    vector lands in exactly one bucket (n_vecs_bucketed = count(*),
+    data-derived), 8 planes bound the id space to 2^8 buckets, and a
+    groupBy can't emit an empty bucket. The histogram itself stays
+    pytest-covered (test_similarity)."""
     from crawler_spark.operators.similarity import with_lsh_bucket
 
     emb = _t(spark, sf_dir, "embeddings")
-    return with_lsh_bucket(emb, 8).groupBy("bucket").agg(F.count("*").alias("n"))
+    hist = with_lsh_bucket(emb, 8).groupBy("bucket").agg(F.count("*").alias("n"))
+    agg = hist.agg(
+        F.sum("n").alias("tot"), F.count("*").alias("nb"), F.min("n").alias("mn")
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_vecs_bucketed").alias("check"), F.col("tot").cast("long").alias("value")),
+                F.struct(F.lit("n_buckets_le_256").alias("check"), (F.col("nb") <= 256).cast("long").alias("value")),
+                F.struct(F.lit("buckets_nonempty").alias("check"), (F.col("mn") >= 1).cast("long").alias("value")),
+            )
+        ).alias("r")
+    ).select("r.check", "r.value")
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN top-10 (n_cells=16, n_probe=4) — rows-only oracle."""
-    from crawler_spark.operators.similarity import ivf_ann_topk
+    """IVF ANN top-10 (n_cells=16, n_probe=4), value-oracled (upgraded
+    from rows-only in round 5) via recall-vs-exact invariants: the query
+    vector is vec_id 0's own embedding, so
+      - exact_top1_id / exact_top1_sim_e6 — data-derived, DuckDB computes
+        both from the exact cosine ranking it already states;
+      - ivf_n_le_k — IVF returns ≤ k rows (literal 1);
+      - ivf_self_hit — the query's own vector is found: its cell is its
+        nearest centroid, which is always among the probed cells, so this
+        is a theorem, not an empirical bound (literal 1);
+      - ivf_sims_exact — every IVF (id, sim) equals the brute-force
+        cosine for that id: IVF never approximates the metric, only the
+        candidate set (literal 1).
+    The raw top-k surface stays pytest-covered (test_similarity)."""
+    from crawler_spark.operators.similarity import cosine, cosine_topk, ivf_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    return ivf_ann_topk(emb, q, k=10, n_cells=16, n_probe=4)
+    ivf = ivf_ann_topk(emb, q, k=10, n_cells=16, n_probe=4)
+    top1 = cosine_topk(emb, q, k=1)
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    truth = emb.select(
+        F.col("vec_id").alias("id"), F.round(cosine(F.col("embedding"), qarr), 6).alias("sim_true")
+    )
+    checks = (
+        top1.select(F.lit("exact_top1_id").alias("check"), F.col("id").cast("long").alias("value"))
+        .unionByName(
+            top1.select(
+                F.lit("exact_top1_sim_e6").alias("check"),
+                F.round(F.col("cosine_sim") * 1000000).cast("long").alias("value"),
+            )
+        )
+        .unionByName(
+            ivf.agg(F.count("*").alias("n")).select(
+                F.lit("ivf_n_le_k").alias("check"), (F.col("n") <= 10).cast("long").alias("value")
+            )
+        )
+        .unionByName(
+            ivf.filter(F.col("id") == 0).agg(F.count("*").alias("n")).select(
+                F.lit("ivf_self_hit").alias("check"), (F.col("n") == 1).cast("long").alias("value")
+            )
+        )
+        .unionByName(
+            ivf.join(truth, "id").agg(
+                F.sum((F.col("cosine_sim") != F.col("sim_true")).cast("int")).alias("bad")
+            ).select(
+                F.lit("ivf_sims_exact").alias("check"),
+                (F.coalesce(F.col("bad"), F.lit(0)) == 0).cast("long").alias("value"),
+            )
+        )
+    )
+    return checks
 
 
 def q_media_decode(spark, sf_dir):
@@ -1537,13 +1670,28 @@ def q_media_decode(spark, sf_dir):
 
 
 def q_winnow_fingerprints(spark, sf_dir):
-    """Winnowing rolling-hash fingerprints — rows-only oracle (xxhash64)."""
+    """Winnowing fingerprints, value-oracled (upgraded from rows-only in
+    round 5) via the scheme's per-document structural bounds: with k=5,
+    w=4 over the normalized stream of length L there are
+    n_kgrams = max(L−4, 0) k-grams (data-derived — DuckDB reproduces the
+    identical normalization), and the selected-fingerprint count is
+    guaranteed in [1, n_windows] for non-empty k-gram sets (0 when
+    empty), where n_windows = n_kgrams−3 when n_kgrams ≥ 4 else
+    n_kgrams. fp_bounds_ok states that guarantee (literal 1). The raw
+    fingerprint sets stay pytest-covered (test_textstats)."""
+    from crawler_spark.operators.dedup import tokens
     from crawler_spark.operators.textstats import winnowing_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    return winnowing_fingerprints(d, "doc_id", "text").select(
-        "id", F.size("fingerprints").alias("n_fingerprints")
+    wf = winnowing_fingerprints(d, "doc_id", "text")
+    n_kgrams = F.greatest(
+        F.length(F.concat_ws(" ", tokens(F.col("text")))) - F.lit(4), F.lit(0)
     )
+    meta = d.select(F.col("doc_id").alias("id"), n_kgrams.cast("long").alias("n_kgrams"))
+    n_fp = F.size("fingerprints")
+    upper = F.when(F.col("n_kgrams") >= 4, F.col("n_kgrams") - 3).otherwise(F.col("n_kgrams"))
+    ok = F.when(F.col("n_kgrams") == 0, n_fp == 0).otherwise((n_fp >= 1) & (n_fp <= upper))
+    return wf.join(meta, "id").select("id", "n_kgrams", ok.cast("int").alias("fp_bounds_ok"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1689,7 +1837,9 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_urn_render": q_urn_render,
         "q_content_hashes": q_content_hashes,
         "q_fifo_topk": q_fifo_topk,
-        # rows-only by contract (xxhash64-derived outputs, no SQL oracle).
+        # invariant-oracled (round 5 — formerly rows-only): xxhash64-
+        # derived operators restated as data-derived values + literal
+        # invariant flags, all value-checked by oracle_sql().
         "q_minhash_near_dups": q_minhash_near_dups,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_embed_near_pairs_lsh": q_embed_near_pairs_lsh,
@@ -2807,9 +2957,96 @@ def oracle_sql() -> dict[str, str]:
                    5 + length(CAST(doc_id AS VARCHAR)) AS n_bytes
             FROM documents
         """,
-        # q_minhash_near_dups / q_simhash_near_dups / q_lsh_buckets /
-        # q_ivf_topk / q_winnow_fingerprints / q_embed_near_pairs_lsh:
-        # xxhash64-based — rows-only.
+        # --- invariant oracles (round 5): the six formerly rows-only
+        # xxhash64-derived queries now emit values DuckDB can reproduce —
+        # data-derived columns computed from the exact formulations above,
+        # plus literal-expected invariant flags (bound constants documented
+        # in each query's docstring, measured across sf0.001/0.01/0.1).
+        "q_minhash_near_dups": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, {toks} AS t FROM documents),
+            sh AS (
+              SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+              FROM toks WHERE len(t) >= 3),
+            ex AS (SELECT id, unnest(grams) AS g FROM sh),
+            sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard,
+                   CAST(1 AS INTEGER) AS est_err_le_20
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        """,
+        "q_simhash_near_dups": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, {toks} AS t FROM documents),
+            sh AS (
+              SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+              FROM toks WHERE len(t) >= 3),
+            ex AS (SELECT id, unnest(grams) AS g FROM sh),
+            sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard,
+                   CAST(1 AS INTEGER) AS hamming_le_24
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        """,
+        "q_embed_near_pairs_lsh": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4096),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_sum(list_transform(a.embedding, (x, i) -> x::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS s
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT 'n_exact_pairs' AS check, CAST(count(*) AS BIGINT) AS value
+            FROM p WHERE s >= 0.35
+            UNION ALL SELECT 'lsh_subset_violations', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'lsh_recall_pct_ge_10', CAST(1 AS BIGINT)
+        """,
+        "q_lsh_buckets": """
+            SELECT 'n_vecs_bucketed' AS check, CAST(count(*) AS BIGINT) AS value FROM embeddings
+            UNION ALL SELECT 'n_buckets_le_256', CAST(1 AS BIGINT)
+            UNION ALL SELECT 'buckets_nonempty', CAST(1 AS BIGINT)
+        """,
+        "q_ivf_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            s AS (
+              SELECT vec_id AS id,
+                     round(
+                       list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * qe[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine_sim
+              FROM embeddings, q),
+            t1 AS (SELECT id, cosine_sim FROM s ORDER BY cosine_sim DESC, id LIMIT 1)
+            SELECT 'exact_top1_id' AS check, CAST(id AS BIGINT) AS value FROM t1
+            UNION ALL SELECT 'exact_top1_sim_e6', CAST(round(cosine_sim * 1000000) AS BIGINT) FROM t1
+            UNION ALL SELECT 'ivf_n_le_k', CAST(1 AS BIGINT)
+            UNION ALL SELECT 'ivf_self_hit', CAST(1 AS BIGINT)
+            UNION ALL SELECT 'ivf_sims_exact', CAST(1 AS BIGINT)
+        """,
+        "q_winnow_fingerprints": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, {toks} AS t FROM documents)
+            SELECT id,
+                   CAST(greatest(length(array_to_string(t, ' ')) - 4, 0) AS BIGINT) AS n_kgrams,
+                   CAST(1 AS INTEGER) AS fp_bounds_ok
+            FROM toks
+        """,
     }
 
 

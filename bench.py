@@ -271,7 +271,26 @@ def main():
     queries["seen_bloom"] = run_noop(seen_bloom_job(spark))
     release_caches(spark)
 
+    # q_minhash_near_dups / q_embed_near_pairs_lsh keep timing the RAW
+    # operators (MinHash→LSH pipeline, multi-table-LSH pair generation)
+    # with round-1-4 parameters, NOT the round-5 invariant-oracled driver
+    # entries of the same names (those add an exact-pair computation for
+    # verification, which would break round-over-round comparability).
+    def _bench_minhash(spark, sf_dir):
+        from crawler_spark.operators.dedup import minhash_near_duplicates
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return minhash_near_duplicates(d, "doc_id", "text", threshold=0.5)
+
+    def _bench_embed_lsh(spark, sf_dir):
+        from crawler_spark.operators.similarity import pairwise_cosine_near_dups
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return pairwise_cosine_near_dups(emb, threshold=0.35, n_planes=8, n_tables=8)
+
     qs = entrymod.queries()
+    qs["q_minhash_near_dups"] = _bench_minhash
+    qs["q_embed_near_pairs_lsh"] = _bench_embed_lsh
     for name in (
         "q_schedule_epoch", "q_fetch_join", "q_latest_maxby", "q_minhash_near_dups",
         # exact-Jaccard headline is the prefix-filtered (AllPairs/PPJoin)

@@ -42,12 +42,9 @@ def test_every_query_has_callable_and_oracle_keys_subset():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)  # every oracle belongs to a query
-    # non-oracled queries are exactly the xxhash64-based ones
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "q_minhash_near_dups", "q_simhash_near_dups", "q_lsh_buckets",
-        "q_ivf_topk", "q_winnow_fingerprints", "q_embed_near_pairs_lsh",
-    }
+    # round 5: EVERY query carries a value oracle — the six xxhash64-based
+    # ones are restated as invariant-oracled entries (no rows-only left)
+    assert set(qs) == set(oracles)
 
 
 @pytest.mark.parametrize("name", SUBSET)
