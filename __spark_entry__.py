@@ -1694,6 +1694,116 @@ def q_winnow_fingerprints(spark, sf_dir):
     return wf.join(meta, "id").select("id", "n_kgrams", ok.cast("int").alias("fp_bounds_ok"))
 
 
+def q_event_windows(spark, sf_dir):
+    """Structured-Streaming watermark + windowed-agg semantics in batch
+    form (K4/K5 consumer semantics — streaming/batch_windows.py mirrors
+    streaming/harvest_stream.py's watermarked window; test_streaming pins
+    batch ≡ stream equality on a micro-batched fixture).
+
+    The driver's `events` table is perfectly time-ordered, so lateness is
+    injected deterministically: every 7th event carries an event time
+    (event_id % 48 + 1) hours behind its arrival position (a backfill
+    re-crawl). Micro-batches are 500 events by arrival (event_id); the
+    watermark filtering batch k's input is max(event time over batches
+    0..k-2) − 30 min (the one-trigger filter lag Spark actually applies —
+    see batch_windows.py and the batch≡stream pin in test_streaming); a
+    row merges iff its 1-hour tumbling window is not yet finalized
+    (window_end > watermark) — exactly Spark's append-mode state rule.
+    DuckDB reproduces the whole closed form; the value measure is integer
+    cents (identical double arithmetic both sides)."""
+    from crawler_spark.streaming.batch_windows import windowed_counts_with_late_exclusion
+
+    ev = _t(spark, sf_dir, "events")
+    ts_eff = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("ts - make_interval(0, 0, 0, 0, CAST(event_id % 48 + 1 AS INT), 0, 0)"),
+    ).otherwise(F.col("ts"))
+    e = ev.select("event_id", ts_eff.alias("ts_eff"), "event_type", "value")
+    return windowed_counts_with_late_exclusion(
+        e,
+        ts_col="ts_eff",
+        seq_col="event_id",
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents"),
+        ],
+        window="1 hour",
+        delay_seconds=1800,
+        batch_size=500,
+    )
+
+
+def q_crawl_dedup(spark, sf_dir):
+    """Crawl→dedup END-TO-END through the real engine (VERDICT r4 item 5):
+    bootstrap a deterministic seed set, run the ACTUAL CrawlEngine over a
+    SnapshotStore until the frontier drains (npm docs land epoch 0, their
+    licensee/scancode/reuse tool docs epoch 1 — the visitor-map tool
+    edges, abstractProcessor.js:243-246), then run the composed
+    `dedup_documents` training-data step over the harvested K1 span log.
+
+    Everything is closed-form: 24 names derived from `part`
+    (p_partkey % 24), one registry version each, no source edges, no
+    fetch fates — so the DuckDB oracle reproduces the harvested document
+    set (package doc_id = cd:/ url with spans text readme+'\\n'+tail;
+    tool doc_id = urn:...:tool:<t> with text '<t> output for <url>',
+    epoch.py _documents_of) and then states the same near-dup clustering
+    (exact 3-gram Jaccard ≥ 0.5 → recursive-CTE connected components →
+    keep-best longest/lowest-id), the q_dedup_clusters /
+    q_ngram_jaccard_prefix oracle patterns composed."""
+    import tempfile
+
+    from crawler_spark.operators.epoch import CrawlEngine
+    from crawler_spark.storage.snapshots import SnapshotStore
+
+    p = _t(spark, sf_dir, "part")
+    ks = p.select((F.col("p_partkey") % 24).alias("k")).distinct()
+    name = F.format_string("pkg-%02d", F.col("k"))
+    version = F.format_string("1.%d.%d", F.col("k") % 3, F.col("k") % 7)
+    readme = F.format_string(
+        "readme group g%d shared corpus alpha beta gamma delta epsilon", F.col("k") % 8
+    )
+    tail = F.format_string("tail t%d end", F.col("k"))
+    nstr = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"), readme.alias("text"),
+                 nstr.alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("media").alias("kind"), nstr.alias("text"),
+                 F.concat(F.lit("sha256:"), name).alias("media_ref"), F.lit(1).alias("offset")),
+        F.struct(F.lit("text").alias("kind"), tail.alias("text"),
+                 nstr.alias("media_ref"), F.lit(2).alias("offset")),
+    )
+    registry = ks.select(
+        F.lit("npmjs").alias("provider"),
+        nstr.alias("namespace"),
+        name.alias("name"),
+        version.alias("version"),
+        F.lit(False).alias("is_prerelease"),
+        F.col("k").cast("int").alias("release_seq"),
+        F.lit(200).cast("int").alias("status"),
+        F.lit(0).cast("int").alias("fail_attempts"),
+        nstr.alias("etag"),
+        nstr.alias("source_type"), nstr.alias("source_provider"),
+        nstr.alias("source_namespace"), nstr.alias("source_name"),
+        nstr.alias("source_revision"),
+        F.lit(None).cast("array<string>").alias("candidate_urls"),
+        nstr.alias("release_date_raw"),
+        spans.alias("payload_spans"),
+    )
+    seeds = ks.select(
+        F.col("k").cast("long").alias("seed_id"),
+        F.lit("npm").alias("type"),
+        F.concat(F.lit("cd:/npm/npmjs/-/"), name, F.lit("/"), version).alias("url"),
+        F.lit("normal").alias("queue"),
+        F.lit("default").alias("policy"),
+        F.lit(0).cast("int").alias("not_before"),
+    )
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="crawl_dedup_"))
+    engine = CrawlEngine(spark, store, registry)
+    engine.run(seeds, max_epochs=4)
+    return engine.dedup_documents(threshold=0.5, n=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_import_path()
@@ -1777,7 +1887,7 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is already driver-verified by an in-window query (noted inline).
     return {
         "q_schedule_epoch": q_schedule_epoch,
-        "q_scan_project": q_scan_project,
+        "q_event_windows": q_event_windows,
         "q_seen_antijoin": q_seen_antijoin,
         "q_attenuation_dedup": q_attenuation_dedup,
         "q_host_budget": q_host_budget,
@@ -1787,7 +1897,7 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scope_publish": q_scope_publish,
         "q_dense_seq": q_dense_seq,
         "q_visitor_expand": q_visitor_expand,
-        "q_latest_maxby": q_latest_maxby,
+        "q_crawl_dedup": q_crawl_dedup,
         "q_fetch_join": q_fetch_join,
         "q_semver_latest": q_semver_latest,
         "q_nuget_normalize": q_nuget_normalize,
@@ -1803,7 +1913,7 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_paging": q_top_paging,
         "q_scancode_files": q_scancode_files,
         "q_reuse_spdx": q_reuse_spdx,
-        "q_reuse_licenses": q_reuse_licenses,
+        "q_embed_near_pairs_lsh": q_embed_near_pairs_lsh,
         "q_git_resolve": q_git_resolve,
         "q_clearly_desc": q_clearly_desc,
         "q_date_parse": q_date_parse,
@@ -1814,7 +1924,7 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_chunking": q_span_chunking,
         "q_licensee_merge": q_licensee_merge,
         "q_coord_parse": q_coord_parse,
-        "q_politeness_gate": q_politeness_gate,
+        "q_ivf_topk": q_ivf_topk,
         "q_source_discovery": q_source_discovery,
         "q_du_summary": q_du_summary,
         "q_dedup_fingerprint": q_dedup_fingerprint,
@@ -1830,7 +1940,17 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed siblings of in-window queries (operator already
         # driver-verified by, respectively): q_top_paging (P21),
         # q_file_summary (P16), q_ngram_jaccard_prefix, q_coord_parse,
-        # q_file_summary+q_media_decode (P16/K3), q_dense_seq (S10).
+        # q_file_summary+q_media_decode (P16/K3), q_dense_seq (S10),
+        # q_schedule_epoch (flagship shape; displaced r5 for
+        # q_event_windows), q_semver_latest (F2 latest resolution;
+        # displaced r5 for q_crawl_dedup), q_reuse_spdx (P19; displaced
+        # r5 for q_embed_near_pairs_lsh), q_host_budget (S6; displaced r5
+        # for q_ivf_topk). scripts/oracle_check.py keeps verifying every
+        # tail oracle each round (SELFCHECK artifact).
+        "q_scan_project": q_scan_project,
+        "q_latest_maxby": q_latest_maxby,
+        "q_reuse_licenses": q_reuse_licenses,
+        "q_politeness_gate": q_politeness_gate,
         "q_top_slices": q_top_slices,
         "q_interesting_files": q_interesting_files,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -1840,11 +1960,10 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invariant-oracled (round 5 — formerly rows-only): xxhash64-
         # derived operators restated as data-derived values + literal
         # invariant flags, all value-checked by oracle_sql().
+        # q_embed_near_pairs_lsh / q_ivf_topk moved INTO the window above.
         "q_minhash_near_dups": q_minhash_near_dups,
         "q_simhash_near_dups": q_simhash_near_dups,
-        "q_embed_near_pairs_lsh": q_embed_near_pairs_lsh,
         "q_lsh_buckets": q_lsh_buckets,
-        "q_ivf_topk": q_ivf_topk,
         "q_winnow_fingerprints": q_winnow_fingerprints,
     }
 
@@ -2956,6 +3075,95 @@ def oracle_sql() -> dict[str, str]:
                    sha256('blob:' || CAST(doc_id AS VARCHAR)) AS content_sha256,
                    5 + length(CAST(doc_id AS VARCHAR)) AS n_bytes
             FROM documents
+        """,
+        # independent engine for the crawl→dedup end-to-end entry: DuckDB
+        # reconstructs the harvested document set from the same closed-form
+        # fixture (package payload spans + tool-output docs, epoch.py
+        # _documents_of) and restates the composed dedup (exact 3-gram
+        # jaccard >= 0.5 -> recursive-CTE components -> keep-best)
+        "q_crawl_dedup": f"""
+            WITH RECURSIVE ks AS (SELECT DISTINCT p_partkey % 24 AS k FROM part),
+            base AS (
+              SELECT k, printf('pkg-%02d', k) AS name,
+                     printf('1.%d.%d', k % 3, k % 7) AS version,
+                     printf('readme group g%d shared corpus alpha beta gamma delta epsilon', k % 8) AS readme,
+                     printf('tail t%d end', k) AS tail
+              FROM ks),
+            corpus AS (
+              SELECT 'cd:/npm/npmjs/-/' || name || '/' || version AS doc_id,
+                     readme || chr(10) || tail AS text
+              FROM base
+              UNION ALL
+              SELECT 'urn:npm:npmjs:-:' || name || ':revision:' || version || ':tool:' || tool,
+                     tool || ' output for cd:/npm/npmjs/-/' || name || '/' || version
+              FROM base CROSS JOIN (SELECT unnest(['licensee', 'scancode', 'reuse']) AS tool) t),
+            c2 AS (SELECT doc_id, text, length(text) AS n_chars FROM corpus),
+            toks AS (SELECT doc_id AS id, {toks} AS t FROM c2),
+            sh AS (
+              SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+              FROM toks WHERE len(t) >= 3),
+            ex AS (SELECT id, unnest(grams) AS g FROM sh),
+            sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.id, b.id),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            r(node, lbl) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN r ON r.node = e.b),
+            cc AS (SELECT node, min(lbl) AS cluster FROM r GROUP BY node),
+            assigned AS (
+              SELECT c2.doc_id, c2.n_chars, coalesce(cc.cluster, c2.doc_id) AS cluster_id
+              FROM c2 LEFT JOIN cc ON cc.node = c2.doc_id),
+            grp AS (
+              SELECT cluster_id, count(*) AS n_members, max(n_chars) AS rep_chars
+              FROM assigned GROUP BY cluster_id),
+            reps AS (
+              SELECT a.cluster_id, min(a.doc_id) AS rep_id
+              FROM assigned a JOIN grp g
+                ON a.cluster_id = g.cluster_id AND a.n_chars = g.rep_chars
+              GROUP BY a.cluster_id)
+            SELECT a.doc_id, a.cluster_id, a.n_chars, g.n_members,
+                   a.doc_id = r2.rep_id AS is_representative
+            FROM assigned a
+            JOIN grp g ON a.cluster_id = g.cluster_id
+            JOIN reps r2 ON a.cluster_id = r2.cluster_id
+        """,
+        # closed-form mirror of the streaming watermark semantics — see
+        # q_event_windows docstring (batch_size 500, delay 30 min, 1 h
+        # tumbling windows, deterministic injected backfill lateness)
+        "q_event_windows": """
+            WITH e AS (
+              SELECT event_id, event_type, value,
+                     CASE WHEN event_id % 7 = 0
+                          THEN ts - to_hours(event_id % 48 + 1)
+                          ELSE ts END AS ts_eff
+              FROM events),
+            b AS (SELECT *, event_id // 500 AS bk FROM e),
+            bm AS (SELECT bk, max(ts_eff) AS bmax FROM b GROUP BY bk),
+            wm AS (
+              -- 2 PRECEDING: the late filter lags one trigger behind the
+              -- watermark bookkeeping (batch_windows.py module docstring)
+              SELECT bk,
+                     max(bmax) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                       - INTERVAL 30 MINUTE AS wmk
+              FROM bm),
+            inc AS (
+              SELECT b.* FROM b JOIN wm USING (bk)
+              WHERE wmk IS NULL OR date_trunc('hour', ts_eff) + INTERVAL 1 HOUR > wmk)
+            SELECT date_trunc('hour', ts_eff) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM inc GROUP BY 1, 2
         """,
         # --- invariant oracles (round 5): the six formerly rows-only
         # xxhash64-derived queries now emit values DuckDB can reproduce —

@@ -60,6 +60,105 @@ def test_stream_picks_up_new_commits_incrementally(spark, store):
         q.stop()
 
 
+def test_batch_mirror_equals_real_stream(spark, tmp_path):
+    """batch_windows.windowed_counts_with_late_exclusion is pinned to a
+    REAL readStream/withWatermark/append-mode query: same micro-batched
+    fixture (one file per trigger, mtime-ordered), same watermark delay,
+    same tumbling window → identical finalized windows, including the
+    dropped-late-row behavior (two rows land behind the watermark)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming.batch_windows import (
+        finalized_windows,
+        windowed_counts_with_late_exclusion,
+    )
+
+    T0 = BASE
+    m = datetime.timedelta
+    batches = []
+    for k in range(4):
+        rows = []
+        for i in range(8):
+            eid = k * 8 + i
+            ts = T0 + m(minutes=k * 20 + i * 2)
+            if eid == 9:
+                ts = T0 + m(minutes=1)  # late but window still open -> kept
+            if eid == 17:
+                # late; window end 00:10 <= max(b0,b1)-15min BUT the late
+                # filter lags one trigger (uses max(b0)-15min) -> KEPT and
+                # emitted in the same batch's eviction — the exact case that
+                # distinguishes the lagged filter from the naive model
+                ts = T0 + m(minutes=2)
+            if eid == 27:
+                ts = T0 + m(minutes=5)  # window [0,10) finalized -> dropped
+            rows.append((eid, ts, "a" if eid % 2 == 0 else "b", float(eid) + 0.25))
+        batches.append(rows)
+    batches.append([(32, T0 + m(hours=24), "zz_sentinel", 0.0)])  # pushes the final watermark
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for k, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        path = str(src / f"batch-{k:03d}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + k, 1_700_000_000 + k))  # force trigger order
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    cents = F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+        .withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), cents)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_cents")
+    )
+    q = (
+        stream.writeStream.outputMode("append").format("memory")
+        .queryName("bw_stream").option("checkpointLocation", str(tmp_path / "ckpt_bw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_stream = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+            for r in spark.sql("select * from bw_stream").collect()
+            if r["event_type"] != "zz_sentinel"
+        }
+    finally:
+        q.stop()
+
+    flat = [r for rows in batches for r in rows]
+    df = spark.createDataFrame(flat, schema)
+    mirror = windowed_counts_with_late_exclusion(
+        df, ts_col="ts", seq_col="event_id", keys=["event_type"],
+        aggs=[F.count("*").alias("n_events"), cents],
+        window="10 minutes", delay_seconds=900, batch_size=8,
+    )
+    final = finalized_windows(mirror, df, "ts", "10 minutes", 900)
+    got_batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in final.collect()
+        if r["event_type"] != "zz_sentinel"
+    }
+    assert got_batch == got_stream
+    assert len(got_stream) > 0
+    # the mirror really excluded the watermark-dropped row (event 27) and
+    # really kept the lagged-filter row (event 17)
+    n_included = mirror.agg(F.sum("n_events")).collect()[0][0]
+    assert n_included == len(flat) - 1
+
+
 def test_stateful_first_seen_dedup(spark, store, tmp_path):
     """applyInPandasWithState cuckoo dedup: doc_ids re-emitted in later
     triggers (re-crawls) are suppressed; first occurrences pass."""
