@@ -40,11 +40,30 @@ class Snapshot:
 
 
 class SnapshotStore:
-    """Multi-table snapshot store rooted at `path`."""
+    """Multi-table snapshot store rooted at `path`.
 
-    def __init__(self, spark: SparkSession, path: str):
+    `chunk_tables` opts a table into the K2 large-document path
+    (storage/chunking.py — storageDocStore.js:46-58 analogue): rows whose
+    span array exceeds `max_bytes` are stored as multiple ~`block_bytes`
+    chunk rows (never one oversized parquet row-group / shuffle block);
+    `read` reassembles them transparently, preserving the exact span
+    sequence (kind, text, media_ref, order). Config per table:
+    ``{"documents": {"id_cols": ["doc_id", "epoch"], "spans_col": "spans",
+    "max_bytes": ..., "block_bytes": ...}}`` — `id_cols` must be unique
+    per row WITHIN each committed DataFrame (the engine's append log is
+    unique on (doc_id, epoch)). One normalization: a NULL span ARRAY
+    round-trips as empty (chunking routes it through the atomic path
+    instead of dropping the row)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        chunk_tables: dict[str, dict] | None = None,
+    ):
         self.spark = spark
         self.path = path
+        self.chunk_tables = chunk_tables or {}
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -67,15 +86,76 @@ class SnapshotStore:
             m = json.load(fh)
         return Snapshot(version=m["version"], epoch=m["epoch"], tables=m["tables"], meta=m.get("meta", {}))
 
+    # -- K2 chunked representation ---------------------------------------
+    _CHUNK_KEY = "_ck"
+
+    def _to_chunks(self, table: str, df: DataFrame) -> DataFrame:
+        """Storage representation for a chunk-enabled table: one row per
+        (document, chunk), metadata columns replicated on every chunk row
+        (chunk rows are a storage shape, not a query surface). Only the
+        oversized tail pays the split exchange (chunking.py)."""
+        from pyspark.sql import functions as F
+
+        from crawler_spark.storage.chunking import (
+            ATOMIC_MAX_BYTES,
+            STREAM_BLOCK_BYTES,
+            chunk_document_spans,
+        )
+
+        cfg = self.chunk_tables[table]
+        spans_col = cfg.get("spans_col", "spans")
+        key = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in cfg["id_cols"]]
+        ).alias(self._CHUNK_KEY)
+        keyed = df.select(key, "*")
+        chunks = chunk_document_spans(
+            keyed.select(self._CHUNK_KEY, spans_col),
+            max_bytes=cfg.get("max_bytes", ATOMIC_MAX_BYTES),
+            block_bytes=cfg.get("block_bytes", STREAM_BLOCK_BYTES),
+            id_col=self._CHUNK_KEY,
+            spans_col=spans_col,
+        )
+        return chunks.join(keyed.drop(spans_col), self._CHUNK_KEY)
+
+    def _from_chunks(self, table: str, raw: DataFrame) -> DataFrame:
+        """Exact inverse: reassemble spans in chunk_seq order, one row per
+        document, bookkeeping columns dropped."""
+        from pyspark.sql import functions as F
+
+        cfg = self.chunk_tables[table]
+        spans_col = cfg.get("spans_col", "spans")
+        others = [
+            c for c in raw.columns
+            if c not in (self._CHUNK_KEY, "chunk_seq", "n_chunks", spans_col)
+        ]
+        return (
+            raw.groupBy(self._CHUNK_KEY)
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("chunk_seq"), F.col(spans_col)))),
+                        lambda c: c[spans_col],
+                    )
+                ).alias(spans_col),
+                *[F.first(c).alias(c) for c in others],
+            )
+            .select(*others, spans_col)
+        )
+
     # -- read -----------------------------------------------------------------
     def read(self, table: str, version: int | None = None) -> DataFrame | None:
         snap = self.snapshot(version)
         if snap is None or table not in snap.tables or not snap.tables[table]:
             return None
-        return self.spark.read.parquet(*snap.tables[table])
+        raw = self.spark.read.parquet(*snap.tables[table])
+        if table in self.chunk_tables:
+            return self._from_chunks(table, raw)
+        return raw
 
     # -- write ----------------------------------------------------------------
     def _write_data(self, table: str, df: DataFrame) -> str:
+        if table in self.chunk_tables:
+            df = self._to_chunks(table, df)
         d = os.path.join(self.path, "data", table, uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(d)
         return d
