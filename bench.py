@@ -166,11 +166,18 @@ def full_epoch_from_table(spark, path: str, batch: int = BATCH_BUDGET, seq_bound
         "enqueued_seq", "host_id", "queue_code", "scope_code", "rev_minor",
         "attempt_count", "not_before_epoch", "parent_epoch",
     ))
-    parsed = with_parsed_coordinates_fast(
-        full.select("url", F.col("url_hash").alias("uh"), F.col("enqueued_seq").alias("_seq"))
-    )
+    # batch dedup BEFORE the per-URL processing (r5): equal url_hash ⇒
+    # equal url ⇒ equal derived columns, so deduping first is
+    # value-identical while (a) the exchange moves the slim pre-hash rows,
+    # not rows carrying sha/urn strings, and (b) duplicate URLs are never
+    # hashed/parsed at all — the plan shape that matters at 10^10 where
+    # re-discovered URLs dominate
+    deduped = full.select(
+        "url", F.col("url_hash").alias("uh"), F.col("enqueued_seq").alias("_seq")
+    ).dropDuplicates(["uh"])
+    parsed = with_parsed_coordinates_fast(deduped)
     content = F.repeat(F.concat(F.col("canonical_url"), F.lit("|artifact-bytes|")), 24)
-    processed = parsed.select(
+    return parsed.select(
         F.col("_seq").alias("pop_key"),
         F.col("uh").alias("url_hash"),
         to_urn(F.col("type"), F.col("provider"), F.col("namespace"),
@@ -179,7 +186,6 @@ def full_epoch_from_table(spark, path: str, batch: int = BATCH_BUDGET, seq_bound
         F.sha2(content, 256).alias("sha256_hex"),
         F.xxhash64(F.concat(F.col("type"), F.lit("@"), F.col("canonical_url"))).alias("seen_hash"),
     )
-    return processed.dropDuplicates(["url_hash"])
 
 
 def frontier_schedule_plan(spark, n: int):
@@ -251,7 +257,19 @@ def main():
     # codegen + JIT — steady-state epochs reuse compiled plans, and the
     # steady state is what the metric tracks (scripts/frontier_job.py
     # uses the same protocol; cold-JIT swings are ±5-10 s on this VM)
+    #
+    # AQE OFF for the epoch job only (r5, measured): every shuffle in the
+    # epoch plan is pre-sized (≤16 MB at 32 partitions, histogram/boundary
+    # slices bounded by construction), so adaptive re-optimization buys
+    # nothing here while its per-exchange re-planning inserts ~10 serial
+    # driver pauses ≈ 2 s/epoch (stage-trace audit in BASELINE.md round 5)
+    # — pure serial-floor cost that also depresses N→4N efficiency. The
+    # rest of the suite keeps AQE on (joins/dedup benefit); a production
+    # 100 TB epoch would re-enable it where partition sizes are unknown
+    # (skew-join safety) — this is a per-job tuning choice, not a default.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     run_noop(full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     release_caches(spark)
     # warm the Python-worker/Arrow path the same way (the seen-set probe is
     # the process's first applyInPandas otherwise: worker-pool spawn + Arrow
@@ -261,9 +279,11 @@ def main():
     run_noop(seen_bloom_job(spark))
     release_caches(spark)
     t0 = time.time()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # epoch-job scope only
     queries["frontier_epoch"] = run_noop(
         full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N)
     )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     # same per-query isolation as the loop below: the epoch's internal
     # `offered` persist must not sit in executor memory while seen_bloom
     # (or anything after it) is timed

@@ -212,10 +212,12 @@ def enqueue_batch(
         F.xxhash64(_seen_key(F.col("type"), F.col("url"))).alias("seen_hash"),
         F.lit(seen_epoch).cast("int").alias("first_seen_epoch"),
     )
-    # ONE driver action for all three counters (the old shape was three
-    # .count() barriers per enqueue — the measured serial floor,
-    # BASELINE.md): tag every entry with its fate over the two cached
-    # nodes and aggregate once.
+    # LAZY fate tags instead of a collect (r5): every entry tagged with
+    # its fate over the two cached nodes. The caller decides when/with
+    # what to aggregate — run_epoch unions these with the outcome log so
+    # the WHOLE epoch's counters cost ONE driver action (the old shape
+    # was two: fates here, outcomes later — each a serial barrier,
+    # VERDICT r4 item 3); bootstrap/submit collect them standalone.
     fate_rows = (
         deduped.filter(F.col("_is_dup")).select(F.lit("att").alias("_fate"))
         .unionAll(requeued.select(F.lit("enq").alias("_fate")))
@@ -225,15 +227,26 @@ def enqueue_batch(
             )
         )
     )
-    fc = {r["_fate"]: r["n"] for r in fate_rows.groupBy("_fate").agg(F.count("*").alias("n")).collect()}
-    counters = {
+    # caller unpersists [deduped, flagged] AFTER committing, so the write
+    # path reuses the cached selection instead of recomputing it
+    return new_frontier, new_seen, fate_rows, [deduped, flagged]
+
+
+def collect_fate_counters(fate_rows: DataFrame, extra: DataFrame | None = None) -> dict:
+    """ONE driver action over the fate tags (optionally unioned with
+    outcome tags — `extra` rows must carry the same `_fate` column).
+    Returns every count keyed by tag."""
+    rows = fate_rows if extra is None else fate_rows.unionAll(extra)
+    fc = {r["_fate"]: r["n"] for r in rows.groupBy("_fate").agg(F.count(F.lit(1)).alias("n")).collect()}
+    return fc
+
+
+def _enqueue_counters(fc: dict) -> dict:
+    return {
         "attenuated": fc.get("att", 0),
         "seen_filtered": fc.get("seen", 0),
         "enqueued": fc.get("enq", 0),
     }
-    # caller unpersists [deduped, flagged] AFTER committing, so the write
-    # path reuses the cached selection instead of recomputing it
-    return new_frontier, new_seen, counters, [deduped, flagged]
 
 
 class CrawlEngine:
@@ -321,7 +334,8 @@ class CrawlEngine:
             [], "seen_key string, seen_hash long, first_seen_epoch int"
         )
         entries = seeds_to_frontier(seeds)
-        front, seen_new, counters, cached = enqueue_batch(entries, empty_seen, 0, ["_order"], seen_epoch=0)
+        front, seen_new, fate_rows, cached = enqueue_batch(entries, empty_seen, 0, ["_order"], seen_epoch=0)
+        counters = _enqueue_counters(collect_fate_counters(fate_rows))
         self.store.commit(
             epoch=-1,
             replace={"frontier": front, "seen": seen_new},
@@ -344,7 +358,8 @@ class CrawlEngine:
         frontier = self.store.read("frontier")
         seen = self.store.read("seen")
         entries = seeds_to_frontier(seeds)
-        front, seen_new, counters, cached = enqueue_batch(entries, seen, next_seq, ["_order"], seen_epoch=epoch)
+        front, seen_new, fate_rows, cached = enqueue_batch(entries, seen, next_seq, ["_order"], seen_epoch=epoch)
+        counters = _enqueue_counters(collect_fate_counters(fate_rows))
         self.store.commit(
             epoch=snap.epoch,
             replace={
@@ -471,7 +486,7 @@ class CrawlEngine:
             from crawler_spark.operators.seenset import build_filters
 
             seen_filters = build_filters(seen, "seen_hash", self.n_filter_parts)
-        new_frontier_rows, new_seen_rows, counters, enq_cached = enqueue_batch(
+        new_frontier_rows, new_seen_rows, fate_rows, enq_cached = enqueue_batch(
             new_entries, seen, next_seq, ["_grp", "_ord1", "_ord2"], seen_epoch=epoch,
             seen_filters=seen_filters, n_filter_parts=self.n_filter_parts,
         )
@@ -492,9 +507,16 @@ class CrawlEngine:
         )
 
         # -- metrics (per-partition lineage + counters, north rule): ONE
-        # aggregation over the unified log covers the robots-excluded count
-        # AND every outcome count (was two driver actions — serial floor)
-        oc = {r["outcome"]: r["cnt"] for r in log.groupBy("outcome").agg(F.count("*").alias("cnt")).collect()}
+        # aggregation — and ONE driver action — now covers the
+        # robots-excluded count, every outcome count, AND the enqueue fate
+        # counters (r5; the r4 shape was two actions: fates inside
+        # enqueue_batch, outcomes here — each a serial barrier that the
+        # Amdahl fit charged to the fixed floor)
+        fc = collect_fate_counters(
+            fate_rows, extra=log.select(F.concat(F.lit("oc:"), F.col("outcome")).alias("_fate"))
+        )
+        counters = _enqueue_counters(fc)
+        oc = {k[3:]: v for k, v in fc.items() if k.startswith("oc:")}
         n_excluded = oc.pop("RobotsExcluded", 0)
         metrics = {
             "epoch": epoch,

@@ -204,36 +204,39 @@ def sampled_topk_per_group(
     info = info.withColumn(
         "_thresh", F.when(F.size("_samp") > 0, F.try_element_at("_samp", target.cast("int")))
     ).drop("_samp")
-    big = info.filter(F.col("_n") > k)
-    small_rows = df.join(F.broadcast(big.select(group_col)), group_col, "left_anti")
+    # ONE broadcast subtree serves the small-group anti-join AND the
+    # candidate join (identical plan → ReusedExchange; the old shape
+    # broadcast two different projections of `big`, evaluating the full
+    # aggregation twice — a measured extra barrier per epoch)
+    big = F.broadcast(info.filter(F.col("_n") > k))
+    small_rows = df.join(big, group_col, "left_anti")
 
-    cand = df.join(F.broadcast(big), group_col).filter(
+    cand = df.join(big, group_col).filter(
         F.col("_thresh").isNull() | (F.col(key_col) <= F.col("_thresh"))
     )
     w_exact = Window.partitionBy(group_col).orderBy(key_col)
-    cand_ranked = cand.withColumn("_r", F.row_number().over(w_exact))
-    helpers = ["_n", "_thresh", "_r"]
-    topk_big = cand_ranked.filter(F.col("_r") <= k).drop(*helpers)
-    # verify: a group whose candidate set came up short of k (sample
-    # undershoot) must be re-ranked exactly over ALL its rows
-    short = (
-        cand_ranked.groupBy(group_col).agg(F.max("_r").alias("_got"))
-        .join(big.select(group_col, "_n"), group_col)
-        .filter((F.col("_got") < k) & (F.col("_got") < F.col("_n")))
-        .select(group_col)
+    # undershoot detection as a WINDOW over the already-ranked candidates
+    # (≤ margin·k rows per group) instead of an agg+join: a group came up
+    # short iff its max rank < k while the group has more rows (_n) than
+    # candidates admitted — the sample threshold under-estimated.
+    cand_ranked = cand.withColumn("_r", F.row_number().over(w_exact)).withColumn(
+        "_short",
+        (F.max("_r").over(Window.partitionBy(group_col)) < k) & (F.col("_n") > F.max("_r").over(Window.partitionBy(group_col))),
     )
-    # the redo path stays IN the plan (no eager count — a driver-side
+    helpers = ["_n", "_thresh", "_r", "_short"]
+    topk_big = cand_ranked.filter((F.col("_r") <= k) & ~F.col("_short")).drop(*helpers)
+    # verify/redo path stays IN the plan (no eager count — a driver-side
     # branch would execute the whole selection DAG once extra): when no
-    # group undershot, `short` is empty and both the anti-join and the
-    # redo window are no-ops over empty broadcasts.
+    # group undershot, `short` is empty and the redo window is a no-op
+    # over an empty broadcast. Exactness never rests on the sample.
+    short = cand_ranked.filter(F.col("_short")).select(group_col).distinct()
     redo = (
         df.join(F.broadcast(short), group_col)
         .withColumn("_r", F.row_number().over(w_exact))
         .filter(F.col("_r") <= k)
         .drop("_r")
     )
-    topk_big = topk_big.join(F.broadcast(short), group_col, "left_anti").unionByName(redo)
-    return small_rows.unionByName(topk_big)
+    return small_rows.unionByName(topk_big).unionByName(redo)
 
 
 def global_topk_by_key(

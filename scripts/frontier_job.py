@@ -42,6 +42,12 @@ def main():
             "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
             "spark.local.dir": "/dev/shm/spark-bench",
+            # epoch shuffles are pre-sized/bounded by construction; AQE's
+            # per-exchange re-planning costs ~10 serial driver pauses
+            # (~2 s/epoch measured r5, BASELINE.md) — pure serial-floor
+            # cost at both cluster sizes, so the scaling job runs without
+            # it (same setting at N and 4N; bench.py scopes it identically)
+            "spark.sql.adaptive.enabled": "false",
         },
     )
     if not os.path.exists(os.path.join(table, "_SUCCESS")):
