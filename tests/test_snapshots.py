@@ -53,3 +53,55 @@ def test_manifest_promotion_is_atomic_rename(spark, tmp_path):
         m = json.load(fh)
     assert m["meta"]["next_seq"] == 5
     assert store.snapshot().meta["next_seq"] == 5
+
+
+def test_engine_runs_transparently_over_chunked_store(spark, tmp_path):
+    """K2 composition: a CrawlEngine whose store chunks oversized span
+    arrays (tiny max_bytes so every payload splits) produces the IDENTICAL
+    documents table as one over a plain store — the engine's own
+    storage-first reads reassemble transparently mid-crawl, and the disk
+    representation really holds multi-chunk rows."""
+    from crawler_spark.data.generators import registry_df, seeds_df
+    from crawler_spark.operators.epoch import CrawlEngine
+
+    spans = [
+        {"kind": "text", "text": f"span {i} " + "x" * 80, "media_ref": None, "offset": i}
+        for i in range(5)
+    ]
+    registry = [
+        {
+            "provider": "npmjs", "namespace": None, "name": n, "version": "1.0.0",
+            "is_prerelease": False, "release_seq": i, "status": 200, "fail_attempts": 0,
+            "source_type": None, "source_provider": None, "source_namespace": None,
+            "source_name": None, "source_revision": None,
+            "payload_spans": spans,
+        }
+        for i, n in enumerate(["pkg-a", "pkg-b"])
+    ]
+    seeds = [
+        {"seed_id": i, "type": "npm", "url": f"cd:/npm/npmjs/-/{n}/1.0.0",
+         "queue": "normal", "policy": "default"}
+        for i, n in enumerate(["pkg-a", "pkg-b"])
+    ]
+
+    def run(store):
+        eng = CrawlEngine(spark, store, registry_df(spark, registry))
+        eng.run(seeds_df(spark, seeds), max_epochs=4)
+        return sorted(
+            (r["doc_id"], r["epoch"], tuple(tuple(s) for s in r["spans"]))
+            for r in store.read("documents").collect()
+        )
+
+    plain = run(SnapshotStore(spark, str(tmp_path / "plain")))
+    chunk_store = SnapshotStore(
+        spark, str(tmp_path / "chunked"),
+        chunk_tables={"documents": {
+            "id_cols": ["doc_id", "epoch"], "spans_col": "spans",
+            "max_bytes": 200, "block_bytes": 100,
+        }},
+    )
+    chunked = run(chunk_store)
+    assert chunked == plain
+    assert len(plain) == 8  # 2 npm payload docs + 2x3 tool docs
+    raw = spark.read.parquet(*chunk_store.snapshot().tables["documents"])
+    assert raw.filter("n_chunks > 1").count() > 0  # payloads really split on disk
