@@ -63,6 +63,7 @@ def main():
     sfname = sys.argv[1] if len(sys.argv) > 1 else "sf0.001"
     only = set(sys.argv[2:])
     sf_dir = f"/root/testdata/{sfname}"
+    print(f"# oracle_check {sfname} ({len(entrymod.oracle_sql())} oracles)")
     spark = get_spark("oracle_check", parallelism=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
