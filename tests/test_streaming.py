@@ -188,3 +188,62 @@ def test_stateful_first_seen_dedup(spark, store, tmp_path):
         assert "cd:/npm/npmjs/-/brand-new/1.0" in rows
     finally:
         q.stop()
+
+
+def test_batch_mirror_matches_python_simulator_randomized(spark):
+    """Property pin for the closed form beyond the single real-stream
+    fixture above: 6 seeded random arrival patterns (out-of-order and
+    late rows, varying batch size / watermark delay) against a pure-
+    Python simulator of the documented append-mode semantics — rows
+    micro-batched by floor(seq/batch_size); batch k's late filter uses
+    max event time over the previous-two-TRIGGERS-back prefix minus the
+    delay (the one-trigger lag, batch_windows.py docstring); a row merges
+    iff its tumbling window is not yet finalized."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming.batch_windows import windowed_counts_with_late_exclusion
+
+    WINDOW_SEC = 600
+
+    def simulate(rows, batch_size, delay):
+        # rows: (seq, ts_offset_sec, key)
+        batches = {}
+        for seq, off, key in rows:
+            batches.setdefault(seq // batch_size, []).append((off, key))
+        merged = {}
+        ordered = sorted(batches)
+        for pos, b in enumerate(ordered):
+            prefix = [off for p in ordered[:max(pos - 1, 0)] for off, _ in batches[p]]
+            wm = max(prefix) - delay if prefix else None
+            for off, key in batches[b]:
+                wstart = (off // WINDOW_SEC) * WINDOW_SEC
+                if wm is None or wstart + WINDOW_SEC > wm:
+                    k = (wstart, key)
+                    merged[k] = merged.get(k, 0) + 1
+        return merged
+
+    rng = random.Random(20260818)
+    for case in range(6):
+        n = rng.randint(12, 60)
+        batch_size = rng.choice([3, 5, 8])
+        delay = rng.choice([300, 900, 1800])
+        rows = [
+            (seq, rng.randint(0, 7200), rng.choice("ab"))
+            for seq in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(seq, BASE + datetime.timedelta(seconds=off), key) for seq, off, key in rows],
+            "seq long, ts timestamp, key string",
+        )
+        got = {
+            (int((r["window_start"] - BASE).total_seconds()), r["key"]): r["n"]
+            for r in windowed_counts_with_late_exclusion(
+                df, ts_col="ts", seq_col="seq", keys=["key"],
+                aggs=[F.count("*").alias("n")],
+                window="10 minutes", delay_seconds=delay, batch_size=batch_size,
+            ).collect()
+        }
+        want = simulate(rows, batch_size, delay)
+        assert got == want, f"case {case}: batch={batch_size} delay={delay} n={n}"
