@@ -1061,6 +1061,58 @@ def q_scancode_files(spark, sf_dir):
     return scancode_attachment_paths(files)
 
 
+def q_fossology(spark, sf_dir):
+    """P20 fossology three-agent output algebra (fossology.js:30-171):
+    skip/error routing, nomos double location-strip, copyright per-file
+    JSON keep/drop, monk walk-order chunking (chunk_size=2 here to make
+    the 500-file chunk rule observable at test scale; the constant is
+    fossology.js:136). Deterministic run/file fixture derived from the
+    documents table; long-format rows (doc, section, idx, path,
+    content) keep the DuckDB oracle value-exact."""
+    from crawler_spark.operators.toolout import fossology_document
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    loc = F.concat(F.lit("tmp/fossy/d"), did.cast("string"))
+    nl = F.lit("\n")
+    runs = d.select(
+        did.alias("doc"),
+        loc.alias("location"),
+        (did % 17 == 0).alias("disabled"),
+        (did % 13 != 0).alias("version_detected"),
+        F.when(
+            did % 11 != 0,
+            # second line splices two prefixes together: the first strip
+            # pass re-creates a 'location/' occurrence the second removes
+            F.concat(loc, F.lit("/LICENSE: GPL-2.0"), nl, loc, loc, F.lit("//nested: MIT"), nl),
+        ).alias("nomos_raw"),
+    )
+    fi = F.col("i")
+    files = (
+        d.select(did, F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i"))
+        .filter(fi < did % 6)
+        .select(
+            did.alias("doc"),
+            fi.cast("long").alias("file_idx"),
+            F.concat(F.lit("src/f"), fi.cast("string"), F.lit(".c")).alias("path"),
+            F.when(
+                (did + fi) % 4 == 0,
+                F.concat(F.lit('{"holders": ["org-'), (did % 7).cast("string"), F.lit('"]}')),
+            )
+            .when((did + fi) % 4 == 1, F.lit("{broken"))
+            .when((did + fi) % 4 == 3, F.lit(""))
+            .alias("copyright_json"),
+            F.when(
+                (did + fi) % 3 == 0,
+                F.concat(
+                    F.lit("found MIT at "), loc, F.lit("/src/f"), fi.cast("string"), F.lit(".c"), nl
+                ),
+            ).otherwise(F.lit("")).alias("monk_text"),
+        )
+    )
+    return fossology_document(runs, files, chunk_size=2)
+
+
 def _reuse_spdx_fixture(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     pk = F.col("p_partkey")
@@ -1912,6 +1964,7 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_manifest_discovery": q_manifest_discovery,
         "q_top_paging": q_top_paging,
         "q_scancode_files": q_scancode_files,
+        "q_fossology": q_fossology,
         "q_reuse_spdx": q_reuse_spdx,
         "q_embed_near_pairs_lsh": q_embed_near_pairs_lsh,
         "q_git_resolve": q_git_resolve,
@@ -1934,7 +1987,6 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_quality": q_token_quality,
         "q_langid": q_langid,
         "q_cosine_topk": q_cosine_topk,
-        "q_embed_near_pairs": q_embed_near_pairs,
         "q_media_decode": q_media_decode,
         # --- tail (position 51+): outside the driver's oracle window ---
         # oracle-backed siblings of in-window queries (operator already
@@ -1945,9 +1997,13 @@ def _RAW_QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_event_windows), q_semver_latest (F2 latest resolution;
         # displaced r5 for q_crawl_dedup), q_reuse_spdx (P19; displaced
         # r5 for q_embed_near_pairs_lsh), q_host_budget (S6; displaced r5
-        # for q_ivf_topk). scripts/oracle_check.py keeps verifying every
-        # tail oracle each round (SELFCHECK artifact).
+        # for q_ivf_topk), q_embed_near_pairs (exact-pair surface — also
+        # computed INSIDE q_embed_near_pairs_lsh's subset invariant;
+        # displaced r5 for q_fossology/P20). scripts/oracle_check.py
+        # keeps verifying every tail oracle each round (SELFCHECK
+        # artifact).
         "q_scan_project": q_scan_project,
+        "q_embed_near_pairs": q_embed_near_pairs,
         "q_latest_maxby": q_latest_maxby,
         "q_reuse_licenses": q_reuse_licenses,
         "q_politeness_gate": q_politeness_gate,
@@ -2554,6 +2610,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, 'package', 'src/app.js' FROM part WHERE p_partkey % 5 = 0
             UNION ALL
             SELECT p_partkey, 'package', 'setup.py' FROM part WHERE p_partkey % 4 = 0
+        """,
+        # the full fossology.js algebra restated in SQL over the same
+        # fixture arithmetic: routing CASE, literal double location-strip
+        # (replace applied twice, mirroring fossology.js:88+:91), the
+        # copyright keep rule (non-empty AND json_valid ≡ Spark's
+        # get_json_object('$') on this fixture's object-or-garbage
+        # grammar), and monk's walk-order chunks of 2 with post-strip
+        # empty chunks dropped
+        "q_fossology": """
+            WITH d AS (
+              SELECT doc_id, 'tmp/fossy/d' || CAST(doc_id AS VARCHAR) AS loc FROM documents
+            ),
+            runs AS (
+              SELECT doc_id AS doc, loc,
+                     doc_id % 17 = 0 AS disabled,
+                     doc_id % 13 <> 0 AS version_detected,
+                     CASE WHEN doc_id % 11 <> 0 THEN
+                       loc || '/LICENSE: GPL-2.0' || chr(10) || loc || loc || '//nested: MIT' || chr(10)
+                     END AS nomos_raw
+              FROM d
+            ),
+            r2 AS (
+              SELECT *, CASE WHEN disabled THEN 'skip:disabled'
+                             WHEN NOT version_detected THEN 'skip:unconfigured'
+                             WHEN nomos_raw IS NULL THEN 'error:nomos'
+                             ELSE 'attached' END AS fate
+              FROM runs
+            ),
+            att AS (SELECT * FROM r2 WHERE fate = 'attached'),
+            f AS (
+              SELECT d.doc_id AS doc, d.loc, CAST(s.i AS BIGINT) AS file_idx,
+                     'src/f' || CAST(s.i AS VARCHAR) || '.c' AS path,
+                     CASE (d.doc_id + s.i) % 4
+                       WHEN 0 THEN '{"holders": ["org-' || CAST(d.doc_id % 7 AS VARCHAR) || '"]}'
+                       WHEN 1 THEN '{broken'
+                       WHEN 3 THEN ''
+                     END AS copyright_json,
+                     CASE WHEN (d.doc_id + s.i) % 3 = 0 THEN
+                       'found MIT at ' || d.loc || '/src/f' || CAST(s.i AS VARCHAR) || '.c' || chr(10)
+                       ELSE '' END AS monk_text
+              FROM d CROSS JOIN (SELECT UNNEST(range(6)) AS i) s
+              WHERE s.i < d.doc_id % 6
+            ),
+            af AS (SELECT f.* FROM f JOIN att ON f.doc = att.doc),
+            kept AS (
+              SELECT doc, path, copyright_json,
+                     row_number() OVER (PARTITION BY doc ORDER BY file_idx) - 1 AS k
+              FROM af
+              WHERE copyright_json IS NOT NULL AND copyright_json <> ''
+                    AND json_valid(copyright_json)
+            ),
+            monk AS (
+              SELECT doc,
+                     (row_number() OVER (PARTITION BY doc ORDER BY file_idx) - 1) // 2 AS chunk,
+                     loc, monk_text, file_idx
+              FROM af
+            ),
+            monk_chunks AS (
+              SELECT doc, chunk,
+                     replace(string_agg(monk_text, '' ORDER BY file_idx), min(loc) || '/', '') AS content
+              FROM monk GROUP BY doc, chunk
+            )
+            SELECT doc, 'fate' AS section, 0 AS idx, CAST(NULL AS VARCHAR) AS path, fate AS content FROM r2
+            UNION ALL
+            SELECT doc, 'nomos', 0, NULL,
+                   replace(replace(nomos_raw, loc || '/', ''), loc || '/', '')
+            FROM att
+            UNION ALL
+            SELECT doc, 'copyright', CAST(k AS INTEGER), path, copyright_json FROM kept
+            UNION ALL
+            SELECT doc, 'monk', CAST(chunk AS INTEGER), NULL, content
+            FROM monk_chunks WHERE content <> ''
         """,
         # the parse result stated closed-form: metadata (Relationship
         # dropped, Creator+Tool concatenated) + two file sections with

@@ -164,3 +164,110 @@ def reuse_license_entries(listing: DataFrame) -> DataFrame:
         F.concat(F.lit("LICENSES/"), F.col("file_name")).alias("file_path"),
         spdx_id.alias("spdx_id"),
     )
+
+
+def fossology_document(
+    runs: DataFrame, files: DataFrame, chunk_size: int = 500
+) -> DataFrame:
+    """P20 fossology run algebra (providers/process/fossology.js) — the
+    relational meaning of the three-agent run, modeled exactly; the agent
+    binaries themselves are process glue (spawn/execFile against a local
+    FOSSology build, disabled in the reference's own config,
+    config/cdConfig.js:78-81).
+
+    Semantics modeled, with fossology.js cites:
+
+    * routing (handle, :30-41): disabled → Skipped('Disabled'); version
+      detection failed → Skipped('not properly configured'); a nomos
+      spawn failure → request ERROR (the close handler resolves null,
+      :83-86, and `result.replace` on :88 then throws — the request fails
+      up to the queue's retry layer, it is NOT markDead). The
+      markDead('Error', 'no results') branch (:48-50) is UNREACHABLE in
+      the reference: `_runNomos`/`_runCopyright` always return truthy
+      objects (copyright returns `{... content: []}` even with zero
+      files), so "all three falsy" cannot occur — modeled as such.
+    * nomos (:63-93): one run over the whole tree; the location prefix
+      `{location}/` is stripped with a global replace TWICE (once in the
+      close handler :88, once building the output :91) — observable when
+      the first pass splices new occurrences together, so both passes are
+      modeled literally.
+    * copyright (:95-133): per-file `copyright --files <f> -J`; a file
+      contributes `{path, output: JSON.parse(stdout)}` iff stdout is
+      non-empty and parses (empty → falsy guard :102, parse throw →
+      caught :104-106, either way the file is silently dropped); result
+      order is the file-walk order. Validity is expressed as
+      `get_json_object(j, '$') IS NOT NULL` (DuckDB mirror:
+      `json_valid`) — equal on JSON-object-or-garbage inputs.
+    * monk (:134-171): files chunked 500 per invocation IN WALK ORDER
+      (chunk membership counts every file, not just matching ones), each
+      chunk's stdout location-stripped once (:163) and concatenated;
+      monk attaches only if the total content is non-empty (:167-170) —
+      a chunk whose stripped output is empty contributes nothing, so
+      empty chunks are dropped rather than emitted as '' rows.
+    * versions (:173-219): nomos `-V` is the tool version, monk and
+      copyright hard-code '0.0.0' — constants, not modeled as rows.
+
+    Inputs: `runs` (doc, location, disabled bool, version_detected bool,
+    nomos_raw string NULLABLE — NULL models the spawn error); `files`
+    (doc, file_idx long — filterFiles walk order, path,
+    copyright_json string nullable, monk_text string).
+
+    Output long-format rows (doc, section, idx, path, content):
+    fate rows for every doc; nomos / copyright / monk rows only for
+    attached docs. All pure column expressions — no UDFs; the only
+    shuffles are the per-doc window/agg on the files table.
+    """
+    fate = (
+        F.when(F.col("disabled"), F.lit("skip:disabled"))
+        .when(~F.col("version_detected"), F.lit("skip:unconfigured"))
+        .when(F.col("nomos_raw").isNull(), F.lit("error:nomos"))
+        .otherwise(F.lit("attached"))
+    )
+    r = runs.withColumn("_fate", fate)
+    nul = F.lit(None).cast("string")
+    zero = F.lit(0).cast("int")
+    fates = r.select(
+        "doc", F.lit("fate").alias("section"), zero.alias("idx"),
+        nul.alias("path"), F.col("_fate").alias("content"),
+    )
+    attached = r.filter(F.col("_fate") == "attached")
+    prefix = F.concat(F.col("location"), F.lit("/"))
+    strip = lambda c: F.replace(c, prefix, F.lit(""))  # noqa: E731
+    nomos = attached.select(
+        "doc", F.lit("nomos").alias("section"), zero.alias("idx"),
+        nul.alias("path"), strip(strip(F.col("nomos_raw"))).alias("content"),
+    )
+    af = files.join(attached.select("doc", "location"), "doc")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("file_idx")
+    kept = af.filter(
+        F.col("copyright_json").isNotNull()
+        & (F.col("copyright_json") != "")
+        & F.get_json_object(F.col("copyright_json"), "$").isNotNull()
+    )
+    copyright = kept.withColumn("idx", (F.row_number().over(w) - 1).cast("int")).select(
+        "doc", F.lit("copyright").alias("section"), "idx",
+        F.col("path"), F.col("copyright_json").alias("content"),
+    )
+    monk = (
+        af.withColumn("_chunk", F.floor((F.row_number().over(w) - 1) / chunk_size))
+        .groupBy("doc", "_chunk")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("file_idx", "monk_text"))),
+                    lambda s: s["monk_text"],
+                ),
+            ).alias("_raw"),
+            F.first("location").alias("location"),
+        )
+        .withColumn("content", strip(F.col("_raw")))
+        .filter(F.col("content") != "")
+        .select(
+            "doc", F.lit("monk").alias("section"), F.col("_chunk").cast("int").alias("idx"),
+            nul.alias("path"), "content",
+        )
+    )
+    return fates.unionByName(nomos).unionByName(copyright).unionByName(monk)

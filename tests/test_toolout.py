@@ -231,3 +231,61 @@ def test_extract_date_rfc2822_offset_fuzz_parity(spark):
     assert [sp[i] for i in range(len(raws))] == py
     # non-vacuous: both kept and windowed-out examples occur
     assert any(p is not None for p in py) and any(p is None for p in py)
+
+
+def test_fossology_document_algebra(spark):
+    """P20 fossology.js semantics over hand-built rows: skip/error
+    routing, the observable DOUBLE location-strip in nomos, the
+    copyright drop rules (null stdout / empty stdout / parse failure),
+    and monk's walk-order chunking with empty chunks dropped."""
+    from crawler_spark.operators.toolout import fossology_document
+
+    runs_schema = "doc long, location string, disabled boolean, version_detected boolean, nomos_raw string"
+    runs = spark.createDataFrame(
+        [
+            (1, "tmp/d1", True, True, "x"),            # disabled wins
+            (2, "tmp/d2", False, False, "x"),          # unconfigured
+            (3, "tmp/d3", False, True, None),          # nomos spawn error
+            # double-strip observable: 'tmp/d4tmp/d4//L: MIT' -> pass1
+            # removes the second 'tmp/d4/' -> 'tmp/d4/L: MIT' -> pass2 -> 'L: MIT'
+            (4, "tmp/d4", False, True, "tmp/d4/a.c: GPL\ntmp/d4tmp/d4//L: MIT\n"),
+            (5, "tmp/d5", False, True, ""),            # attached, no files
+        ],
+        runs_schema,
+    )
+    files_schema = "doc long, file_idx long, path string, copyright_json string, monk_text string"
+    files = spark.createDataFrame(
+        [
+            (4, 0, "a.c", '{"holders": ["x"]}', "tmp/d4/a.c matches MIT\n"),
+            (4, 1, "b.c", "{broken", ""),              # parse throw -> dropped
+            (4, 2, "c.c", None, "c.c matches GPL\n"),  # agent error -> dropped
+            (4, 3, "d.c", "", ""),                     # empty stdout -> dropped
+            (4, 4, "e.c", '{"holders": []}', ""),
+            (3, 0, "z.c", '{"holders": ["y"]}', "zzz"),  # erroring doc: no output rows
+        ],
+        files_schema,
+    )
+    rows = {
+        (r["doc"], r["section"], r["idx"], r["path"]): r["content"]
+        for r in fossology_document(runs, files, chunk_size=2).collect()
+    }
+    fates = {d: rows[(d, "fate", 0, None)] for d in (1, 2, 3, 4, 5)}
+    assert fates == {
+        1: "skip:disabled", 2: "skip:unconfigured", 3: "error:nomos",
+        4: "attached", 5: "attached",
+    }
+    assert rows[(4, "nomos", 0, None)] == "a.c: GPL\nL: MIT\n"
+    assert rows[(5, "nomos", 0, None)] == ""
+    # copyright: only a.c and e.c kept, idx re-ranked over kept files
+    assert rows[(4, "copyright", 0, "a.c")] == '{"holders": ["x"]}'
+    assert rows[(4, "copyright", 1, "e.c")] == '{"holders": []}'
+    # monk chunks of 2 over ALL files in walk order: chunk0 = a.c+b.c
+    # (stripped -> 'a.c matches MIT\n'), chunk1 = c.c+d.c, chunk2 = e.c
+    # (empty -> dropped)
+    assert rows[(4, "monk", 0, None)] == "a.c matches MIT\n"
+    assert rows[(4, "monk", 1, None)] == "c.c matches GPL\n"
+    assert (4, "monk", 2, None) not in rows
+    # doc 3 errored before any agent output; doc 5 has no files
+    assert not any(d == 3 and s != "fate" for d, s, _, _ in rows)
+    assert not any(d == 5 and s in ("copyright", "monk") for d, s, _, _ in rows)
+    assert len(rows) == 5 + 2 + 2 + 2
