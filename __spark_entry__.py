@@ -1606,7 +1606,10 @@ def q_embed_near_pairs_lsh(spark, sf_dir):
         .filter(F.col("s") >= 0.35)
         .select("id_a", "id_b")
     )
-    lsh = pairwise_cosine_near_dups(emb, threshold=0.35, n_planes=8, n_tables=8).select(
+    # LSH runs over the SAME capped set as `exact` — asymmetric inputs
+    # would make the subset-violation literal 0 false at any sf with
+    # vec_ids >= 4096 (LSH pairs absent from the capped exact set).
+    lsh = pairwise_cosine_near_dups(e, threshold=0.35, n_planes=8, n_tables=8).select(
         "id_a", "id_b"
     )
     n_exact = exact.agg(F.count("*").alias("n"))
@@ -1803,6 +1806,8 @@ def q_crawl_dedup(spark, sf_dir):
     (exact 3-gram Jaccard ≥ 0.5 → recursive-CTE connected components →
     keep-best longest/lowest-id), the q_dedup_clusters /
     q_ngram_jaccard_prefix oracle patterns composed."""
+    import atexit
+    import shutil
     import tempfile
 
     from crawler_spark.operators.epoch import CrawlEngine
@@ -1850,7 +1855,13 @@ def q_crawl_dedup(spark, sf_dir):
         F.lit("default").alias("policy"),
         F.lit(0).cast("int").alias("not_before"),
     )
-    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="crawl_dedup_"))
+    # The returned DataFrame's lineage reads these snapshots, so the dir
+    # can't be deleted eagerly; register exit-time cleanup instead so
+    # repeated sweeps (oracle_check runs 65 queries x several sfs per
+    # round) don't accumulate crawl_dedup_* dirs until /tmp fills.
+    store_dir = tempfile.mkdtemp(prefix="crawl_dedup_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = SnapshotStore(spark, store_dir)
     engine = CrawlEngine(spark, store, registry)
     engine.run(seeds, max_epochs=4)
     return engine.dedup_documents(threshold=0.5, n=3)

@@ -24,6 +24,7 @@ import json
 import os
 import sys
 import time
+from contextlib import contextmanager
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -267,9 +268,20 @@ def main():
     # rest of the suite keeps AQE on (joins/dedup benefit); a production
     # 100 TB epoch would re-enable it where partition sizes are unknown
     # (skew-join safety) — this is a per-job tuning choice, not a default.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    run_noop(full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N))
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    @contextmanager
+    def aqe_off():
+        # save/restore (not hard-coded 'true') so the session's own AQE
+        # default — whatever get_spark or a caller set — survives the
+        # epoch-job scope even if it changes in a future round
+        saved = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+    with aqe_off():
+        run_noop(full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N))
     release_caches(spark)
     # warm the Python-worker/Arrow path the same way (the seen-set probe is
     # the process's first applyInPandas otherwise: worker-pool spawn + Arrow
@@ -279,11 +291,10 @@ def main():
     run_noop(seen_bloom_job(spark))
     release_caches(spark)
     t0 = time.time()
-    spark.conf.set("spark.sql.adaptive.enabled", "false")  # epoch-job scope only
-    queries["frontier_epoch"] = run_noop(
-        full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N)
-    )
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    with aqe_off():  # epoch-job scope only
+        queries["frontier_epoch"] = run_noop(
+            full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=FRONTIER_N)
+        )
     # same per-query isolation as the loop below: the epoch's internal
     # `offered` persist must not sit in executor memory while seen_bloom
     # (or anything after it) is timed

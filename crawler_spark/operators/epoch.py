@@ -117,14 +117,16 @@ def enqueue_batch(
     seen_epoch: int = 0,
     seen_filters: DataFrame | None = None,
     n_filter_parts: int = 0,
-) -> tuple[DataFrame, DataFrame, dict]:
+) -> tuple[DataFrame, DataFrame, DataFrame, list[DataFrame]]:
     """Attenuation + seen-filter + deterministic seq assignment.
 
     `entries` must carry `_order`-able columns (`order_cols`) defining the
     reference push order. Returns (new_frontier_rows, new_seen_rows,
-    counters, cached_nodes) — the caller unpersists `cached_nodes` after
-    committing so the write path reuses the selection. Mirrors
-    CrawlSimulator.enqueue_batch.
+    fate_rows, cached_nodes): `fate_rows` is a LAZY (fate, n) DataFrame —
+    fold it into the epoch's single counter action via
+    `collect_fate_counters` (the r5 one-action-per-epoch contract) — and
+    the caller unpersists each of `cached_nodes` after committing so the
+    write path reuses the selection. Mirrors CrawlSimulator.enqueue_batch.
 
     When `seen_filters` is given (per-partition bloom/cuckoo states from
     seenset.build_filters), the seen anti-join is bloom-accelerated:

@@ -217,11 +217,11 @@ def sampled_topk_per_group(
     w_exact = Window.partitionBy(group_col).orderBy(key_col)
     # undershoot detection as a WINDOW over the already-ranked candidates
     # (≤ margin·k rows per group) instead of an agg+join: a group came up
-    # short iff its max rank < k while the group has more rows (_n) than
-    # candidates admitted — the sample threshold under-estimated.
+    # short iff its max rank < k — every cand row is from `big` (_n > k),
+    # so max_r < k already implies the group has more rows than the
+    # sample threshold admitted.
     cand_ranked = cand.withColumn("_r", F.row_number().over(w_exact)).withColumn(
-        "_short",
-        (F.max("_r").over(Window.partitionBy(group_col)) < k) & (F.col("_n") > F.max("_r").over(Window.partitionBy(group_col))),
+        "_short", F.max("_r").over(Window.partitionBy(group_col)) < k
     )
     helpers = ["_n", "_thresh", "_r", "_short"]
     topk_big = cand_ranked.filter((F.col("_r") <= k) & ~F.col("_short")).drop(*helpers)

@@ -53,7 +53,13 @@ class SnapshotStore:
     per row WITHIN each committed DataFrame (the engine's append log is
     unique on (doc_id, epoch)). One normalization: a NULL span ARRAY
     round-trips as empty (chunking routes it through the atomic path
-    instead of dropping the row)."""
+    instead of dropping the row).
+
+    Each manifest records which tables hold the chunked representation,
+    so reads are self-describing (a reader constructed without the flag
+    still reassembles a chunked table rather than returning chunk rows)
+    and an append whose representation conflicts with the dirs already
+    under the table raises instead of silently mixing shapes."""
 
     def __init__(
         self,
@@ -93,7 +99,13 @@ class SnapshotStore:
         """Storage representation for a chunk-enabled table: one row per
         (document, chunk), metadata columns replicated on every chunk row
         (chunk rows are a storage shape, not a query surface). Only the
-        oversized tail pays the split exchange (chunking.py)."""
+        oversized tail pays the split exchange (chunking.py).
+
+        The chunk key is `to_json(struct(id_cols))` — injective for a
+        fixed schema (field names disambiguate which column is NULL, and
+        JSON escaping keeps separator bytes inside string ids from
+        colliding two distinct tuples into one key, which a plain
+        concat_ws would allow)."""
         from pyspark.sql import functions as F
 
         from crawler_spark.storage.chunking import (
@@ -104,8 +116,8 @@ class SnapshotStore:
 
         cfg = self.chunk_tables[table]
         spans_col = cfg.get("spans_col", "spans")
-        key = F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in cfg["id_cols"]]
+        key = F.to_json(
+            F.struct(*[F.col(c) for c in cfg["id_cols"]])
         ).alias(self._CHUNK_KEY)
         keyed = df.select(key, "*")
         chunks = chunk_document_spans(
@@ -117,30 +129,20 @@ class SnapshotStore:
         )
         return chunks.join(keyed.drop(spans_col), self._CHUNK_KEY)
 
-    def _from_chunks(self, table: str, raw: DataFrame) -> DataFrame:
+    def _from_chunks(self, raw: DataFrame, spans_col: str) -> DataFrame:
         """Exact inverse: reassemble spans in chunk_seq order, one row per
-        document, bookkeeping columns dropped."""
-        from pyspark.sql import functions as F
+        document, bookkeeping columns dropped. Delegates the span
+        reassembly to chunking.reassemble_documents so there is one copy
+        of the inverse logic."""
+        from crawler_spark.storage.chunking import reassemble_documents
 
-        cfg = self.chunk_tables[table]
-        spans_col = cfg.get("spans_col", "spans")
         others = [
             c for c in raw.columns
             if c not in (self._CHUNK_KEY, "chunk_seq", "n_chunks", spans_col)
         ]
-        return (
-            raw.groupBy(self._CHUNK_KEY)
-            .agg(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct(F.col("chunk_seq"), F.col(spans_col)))),
-                        lambda c: c[spans_col],
-                    )
-                ).alias(spans_col),
-                *[F.first(c).alias(c) for c in others],
-            )
-            .select(*others, spans_col)
-        )
+        return reassemble_documents(
+            raw, id_col=self._CHUNK_KEY, spans_col=spans_col, meta_cols=others
+        ).select(*others, spans_col)
 
     # -- read -----------------------------------------------------------------
     def read(self, table: str, version: int | None = None) -> DataFrame | None:
@@ -148,8 +150,21 @@ class SnapshotStore:
         if snap is None or table not in snap.tables or not snap.tables[table]:
             return None
         raw = self.spark.read.parquet(*snap.tables[table])
-        if table in self.chunk_tables:
-            return self._from_chunks(table, raw)
+        # The REPRESENTATION is decided by the manifest, not the
+        # constructor flag: a store written chunked reads back reassembled
+        # even from a reader constructed without the flag (and vice
+        # versa), so a flag mismatch cannot return chunk rows as if they
+        # were documents. Manifests written before representation
+        # recording fall back to the constructor flag (old behavior).
+        rec = snap.meta.get("chunked")
+        if rec is None:
+            if table in self.chunk_tables:
+                return self._from_chunks(
+                    raw, self.chunk_tables[table].get("spans_col", "spans")
+                )
+            return raw
+        if table in rec:
+            return self._from_chunks(raw, rec[table]["spans_col"])
         return raw
 
     # -- write ----------------------------------------------------------------
@@ -175,16 +190,51 @@ class SnapshotStore:
         """
         prev = self.snapshot()
         tables: dict[str, list[str]] = dict(prev.tables) if prev else {}
+        # Per-table storage representation, recorded in the manifest so
+        # reads are self-describing and appends cannot mix chunked and
+        # plain parquet dirs under one table (which would silently
+        # corrupt reassembly). Manifests from before this record existed
+        # return None; their tables are assumed to match the current
+        # constructor intent (the only readers they ever had).
+        prev_chunked = prev.meta.get("chunked") if prev else None
+        chunked: dict[str, dict] = dict(prev_chunked or {})
+
+        def _intent(t: str) -> dict | None:
+            if t in self.chunk_tables:
+                return {"spans_col": self.chunk_tables[t].get("spans_col", "spans")}
+            return None
+
         for t, df in (replace or {}).items():
             tables[t] = [self._write_data(t, df)]
+            rec = _intent(t)  # a full swap may change representation
+            if rec is None:
+                chunked.pop(t, None)
+            else:
+                chunked[t] = rec
         for t, df in (append or {}).items():
+            if tables.get(t):
+                # `chunked` already reflects a same-commit replace of t
+                if t in (replace or {}) or prev_chunked is not None:
+                    was = t in chunked
+                else:
+                    was = t in self.chunk_tables
+                if was != (t in self.chunk_tables):
+                    raise ValueError(
+                        f"table {t!r} holds {'chunked' if was else 'plain'} parquet dirs "
+                        f"but this store would append {'chunked' if t in self.chunk_tables else 'plain'} "
+                        "rows — appending would mix representations; use replace= or a "
+                        "matching chunk_tables config"
+                    )
+            rec = _intent(t)
+            if rec is not None:
+                chunked[t] = rec  # also upgrades pre-record manifests
             tables[t] = tables.get(t, []) + [self._write_data(t, df)]
         version = (prev.version + 1) if prev else 0
         manifest = {
             "version": version,
             "epoch": epoch,
             "tables": tables,
-            "meta": dict(meta or {}, committed_unix=time.time()),
+            "meta": dict(meta or {}, committed_unix=time.time(), chunked=chunked),
         }
         tmp = self._manifest_path(version) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:

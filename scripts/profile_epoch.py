@@ -76,9 +76,13 @@ def main():
         "enqueued_seq", "host_id", "queue_code", "scope_code", "rev_minor",
         "attempt_count", "not_before_epoch", "parent_epoch",
     ))
-    parsed = with_parsed_coordinates_fast(
-        full.select("url", F.col("url_hash").alias("uh"), F.col("enqueued_seq").alias("_seq"))
-    )
+    # dedup BEFORE parse/hash — the exact r5 full_epoch_from_table DAG
+    # order (bench.py), so these prefix timings decompose the same plan
+    # the "full_epoch (timed)" rows below execute
+    deduped = full.select(
+        "url", F.col("url_hash").alias("uh"), F.col("enqueued_seq").alias("_seq")
+    ).dropDuplicates(["uh"])
+    parsed = with_parsed_coordinates_fast(deduped)
     content = F.repeat(F.concat(F.col("canonical_url"), F.lit("|artifact-bytes|")), 24)
     processed = parsed.select(
         F.col("_seq").alias("pop_key"),
@@ -88,8 +92,8 @@ def main():
         F.sha1(content).alias("sha1_hex"),
         F.sha2(content, 256).alias("sha256_hex"),
         F.xxhash64(F.concat(F.col("type"), F.lit("@"), F.col("canonical_url"))).alias("seen_hash"),
-    ).dropDuplicates(["url_hash"])
-    t("... + process/hash/dedup (full)", processed, spark)
+    )
+    t("... + dedup/process/hash (full)", processed, spark)
     offered_p.unpersist()
 
     t("full_epoch (timed)", full_epoch_from_table(spark, table, batch=BATCH_BUDGET, seq_bound=n), spark)
