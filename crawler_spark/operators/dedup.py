@@ -222,13 +222,17 @@ def ngram_jaccard_pairs(
     # boundary that filter is pushed below the spread exchange with the
     # whole shingle expression inlined — a single-task stage that
     # recomputes everything (measured 23 s of the 31 s query at sf0.1).
-    # The persist is the pushdown barrier AND the diamond's share point;
-    # MEMORY_AND_DISK so a 100 TB corpus spills instead of recomputing.
-    from pyspark import StorageLevel
-
+    # The materialization is the pushdown barrier AND the diamond's share
+    # point. localCheckpoint(eager=False), not persist: a catalog persist
+    # pins a CacheManager entry only an explicit unpersist releases — a
+    # long-lived session calling dedup per crawl round would leak one per
+    # call — while localCheckpoint blocks (MEMORY_AND_DISK: spill, not
+    # recompute) are dropped by the ContextCleaner once the result is
+    # garbage-collected, and its LogicalRDD plan is a hard pushdown
+    # barrier too (the seenset probe uses the same pattern, a29f63d).
     sh = _tokenized(df, id_col, text_col, n).select(
         "id", shingles_from_tokens(F.col("_toks"), n).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     exploded = sh.select("id", F.explode("sh").alias("g"))
     if max_shingle_freq is not None:
         hot = (
@@ -289,15 +293,22 @@ def ngram_jaccard_pairs_prefix(
     on the pair ids. The per-doc shingle table persists once and serves
     the sort, both join sides, and the verify.
     """
-    from pyspark import StorageLevel
-
     t = float(threshold)
-    # persist the compact per-doc arrays BEFORE any explode, and add NO
-    # size filter above them: a size(sh)>0 filter (explicit or
+    # materialize the compact per-doc arrays BEFORE any explode, and add
+    # NO size filter above them: a size(sh)>0 filter (explicit or
     # explode-inferred) is pushed below the spread exchange with the whole
     # shingle HOF inlined — a single-task stage recomputing every shingle
     # on one core (measured 10.9 s vs 0.5 s at sf0.1). Shingle-less docs
     # simply contribute no explode rows and drop out of ssh naturally.
+    # persist, NOT localCheckpoint, in THIS pipeline: the cached relation
+    # is columnar (InMemoryTableScan prunes columns per consumer) while a
+    # checkpoint's LogicalRDD hands every consumer full rows — the A/B at
+    # sf0.1 measured the checkpointed form 1.9× slower end-to-end (7.3 s
+    # vs 4.0 s). The cost is one CacheManager entry per DISTINCT input
+    # plan (identical calls share one); a per-round caller releases them
+    # with spark.catalog.clearCache() (bench.release_caches does).
+    from pyspark import StorageLevel
+
     sh = _tokenized(df, id_col, text_col, n).select(
         "id", shingles_from_tokens(F.col("_toks"), n).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -312,7 +323,7 @@ def ngram_jaccard_pairs_prefix(
                 F.array_sort(F.collect_list(F.struct("c", "g"))), lambda s: s["g"]
             ).alias("ssh")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)  # columnar — see sh above
     )
     # ε relaxes every pruning bound toward INCLUSION: float products like
     # 0.07·100 = 7.000000000000001 would otherwise shorten a prefix /
@@ -447,10 +458,9 @@ def lsh_candidate_pairs(
     # materialize bands once: both self-join sides would otherwise
     # recompute the k array_min∘transform signature chains per document
     # (measured: signatures are ~55% of the whole pipeline at sf0.1).
-    # MEMORY_AND_DISK — at corpus scale the band rows spill, not recompute.
-    from pyspark import StorageLevel
-
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint (MEMORY_AND_DISK: spill, not recompute) — no leaked
+    # CacheManager entry per call (see ngram_jaccard_pairs).
+    bands = bands.localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -548,7 +558,17 @@ def simhash_near_duplicates(
     """Pairs within `max_hamming` bits. Candidate generation: split the
     64-bit fingerprint into 4 16-bit chunks — any pair within hamming
     distance 3 must agree on ≥1 chunk (pigeonhole), so join per chunk,
-    then verify exact hamming via bit_count(xor)."""
+    then verify exact hamming via bit_count(xor).
+
+    The pigeonhole bound only covers max_hamming ≤ 3 (= n_chunks - 1): a
+    pair differing by one bit in EVERY chunk agrees on none, so a larger
+    radius would silently lose pairs — rejected rather than returned
+    incomplete."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "max_hamming must be in [0, 3]: the 4-chunk pigeonhole "
+            "candidate join is only complete within hamming distance 3"
+        )
     fps = simhash_fingerprints(df, id_col, text_col).filter(F.col("n_tokens") > 0)
     chunks = fps.select(
         "id",
@@ -567,9 +587,8 @@ def simhash_near_duplicates(
     ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
     # same diamond as the LSH band join: both sides would recompute the
     # 64 per-bit majority votes per document — materialize chunks once
-    from pyspark import StorageLevel
-
-    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    # (localCheckpoint: ContextCleaner-managed, see ngram_jaccard_pairs)
+    chunks = chunks.localCheckpoint(eager=False)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

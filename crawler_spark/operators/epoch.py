@@ -56,6 +56,7 @@ from crawler_spark.config import (
     MAX_REQUEUE_ATTEMPTS,
     NAMED_POLICIES,
     POP_RNG_SEED,
+    QUEUE_NAMES,
     REQUEUE_DELAY_EPOCHS,
 )
 from crawler_spark.functions.dates import extract_date
@@ -78,9 +79,6 @@ FRONTIER_COLS = [
     "parent_epoch", "enqueued_seq", "url_hash",
 ]
 
-_LOG_COLS = ["epoch", "pop_index", "type", "url", "queue", "scope", "outcome", "attempt", "origin"]
-
-
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     """POST /requests equivalent: rationalize + canonicalize seed rows into
     frontier entries (/root/reference/ghcrawler/routes/requests.js:24-41).
@@ -94,7 +92,17 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
         F.col("request_type").alias("type"),
         F.col("type").alias("spec_type"),
         "provider", "namespace", "name", "revision", "host",
-        F.coalesce(F.col("queue"), F.lit("normal")).alias("queue"),
+        # fail loudly on a queue outside the configured four: pop_schedule
+        # iterates SCOPES × QUEUE_NAMES only, so an unknown queue would
+        # otherwise sit in the frontier forever, silently unschedulable
+        # (the reference's queue lookup throws on an unknown name too).
+        # raise_error keeps this lazy — no extra validation action.
+        F.when(
+            F.coalesce(F.col("queue"), F.lit("normal")).isin(*QUEUE_NAMES),
+            F.coalesce(F.col("queue"), F.lit("normal")),
+        ).otherwise(
+            F.raise_error(F.concat(F.lit("unknown queue: "), F.col("queue")))
+        ).alias("queue"),
         F.lit("global").alias("scope"),
         F.coalesce(F.col("policy"), F.lit("default")).alias("policy"),
         F.lit(0).alias("attempt_count"),
@@ -175,10 +183,28 @@ def enqueue_batch(
     if seen_filters is not None:
         from crawler_spark.operators.seenset import probe_candidates
 
+        if n_filter_parts <= 0:
+            # pmod(hash, 0) is NULL row-wise (or a DIVIDE_BY_ZERO under
+            # ANSI): every candidate would land in a filterless cogroup,
+            # read as definitely-unseen, and every already-seen URL would
+            # re-enqueue. Fail loudly instead of silently disabling the
+            # seen set.
+            raise ValueError(
+                "seen_filters requires n_filter_parts > 0 (the partition "
+                "count build_filters was called with)"
+            )
         # url_hash IS xxhash64('type@url') == seen_hash, so it probes the
         # same key space the filters were built over; bloom-negative rows
         # are definitely unseen, suspects verify on the exact string key.
-        probed = probe_candidates(fresh2, seen_filters, "url_hash", n_filter_parts)
+        # Materialized once (non-eager localCheckpoint): both the suspect
+        # and definitely-unseen branches below consume `probed` — without
+        # it the filter cogroup probe executes once per branch inside the
+        # single epoch action (the same diamond seenset.filtered_anti_join
+        # closes the same way; the cache boundary on `flagged` sits ABOVE
+        # the union, too late to stop the double probe).
+        probed = probe_candidates(
+            fresh2, seen_filters, "url_hash", n_filter_parts
+        ).localCheckpoint(eager=False)
         verified = probed.filter(F.col("maybe_seen")).join(
             seen.select(F.col("seen_key").alias("_skey")).distinct()
             .withColumn("_ex", F.lit(True)),
@@ -869,6 +895,7 @@ class CrawlEngine:
         fetchedAt carried over for storage/cache-served reprocessing,
         processedAt = now, version = the current processor version."""
         fetched_docs = processed.filter(F.col("payload_spans").isNotNull()).select(
+            F.col("pop_index").alias("_pop"),
             F.col("resolved_url").alias("doc_id"),
             F.col("payload_spans").alias("spans"),
             F.col("type").alias("doc_type"),
@@ -881,6 +908,7 @@ class CrawlEngine:
         )
         tool = processed.filter(F.col("type").isin(*TERMINAL_TYPES))
         tool_docs = tool.select(
+            F.col("pop_index").alias("_pop"),
             to_urn(
                 F.col("spec_type"), F.col("provider"), F.col("namespace"), F.col("name"),
                 F.col("revision"), F.col("type"),
@@ -904,7 +932,22 @@ class CrawlEngine:
             # package doc)
             F.lit(None).cast("timestamp").alias("release_date"),
         )
-        return fetched_docs.unionByName(tool_docs)
+        docs = fetched_docs.unionByName(tool_docs)
+        # One epoch can schedule two DIFFERENT urls that resolve to the
+        # same document (a pinned and an unpinned request for the same
+        # package both resolving to latest): the simulator's dict write
+        # (simulator.py:396) makes the LAST pop win, and the chunked
+        # store requires (doc_id, epoch) unique per committed batch.
+        # Mirror it exactly: keep the max-pop_index row per doc_id.
+        # pop_index is unique within the epoch, so this is deterministic;
+        # duplicates are a same-document rarity, so the per-doc window
+        # stays bounded at any batch size.
+        w = Window.partitionBy("doc_id").orderBy(F.col("_pop").desc())
+        return (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_pop")
+        )
 
     # ------------------------------------------------------------------
     def _expand(self, processed: DataFrame, epoch: int) -> DataFrame:

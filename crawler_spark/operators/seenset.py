@@ -281,9 +281,11 @@ def probe_candidates(
     use: str = "bloom",
 ) -> DataFrame:
     """Adds `maybe_seen: boolean` to `candidates` — True iff the key's
-    partition filter reports membership (bloom: no false negatives;
-    cuckoo: no false negatives unless an insert overflowed, which
-    build_filters sizes against).
+    partition filter reports membership. Neither path yields false
+    negatives: bloom by construction; cuckoo because a partition whose
+    build overflowed (build_filters sizes against it, but inputs can
+    exceed the sizing) is degraded wholesale to maybe_seen=True rather
+    than probed against a filter that may have dropped fingerprints.
 
     Cogroup co-partitions candidates with their single filter row — the
     scale path (no driver collect, no broadcast of filter state).
@@ -304,7 +306,17 @@ def probe_candidates(
         keys = cand_pdf[key_col].to_numpy(dtype=np.int64).view(np.uint64)
         row = filt_pdf.iloc[0]
         if use == "cuckoo":
-            hit = CuckooFilter.from_bytes(row["cuckoo"]).contains_many(keys)
+            if int(row["overflowed"]) > 0:
+                # an overflowed cuckoo partition has false NEGATIVES (the
+                # lost key — or, after a failed kick loop, some OTHER
+                # previously-inserted key's evicted fingerprint), which
+                # would read as 'definitely unseen' and re-crawl seen
+                # URLs. Degrade the whole partition to maybe_seen=True:
+                # conservative (no false negatives), and the exact verify
+                # every caller runs on maybe_seen rows restores precision.
+                hit = np.ones(len(keys), dtype=bool)
+            else:
+                hit = CuckooFilter.from_bytes(row["cuckoo"]).contains_many(keys)
         else:
             hit = bloom_probe(row["bloom"], keys, int(row["k_hashes"]))
         out["maybe_seen"] = hit
@@ -325,8 +337,21 @@ def filtered_anti_join(
     cand_key: str = "url_hash",
     seen_key: str = "seen_hash",
     n_partitions: int = 32,
+    verify_keys: tuple[str, str] | None = None,
 ) -> DataFrame:
-    """EXACT unseen-candidates set, bloom-accelerated (SURVEY.md §2.1 S3):
+    """EXACT unseen-candidates set, bloom-accelerated (SURVEY.md §2.1 S3).
+
+    Exactness is relative to the VERIFY key: by default suspects
+    anti-join on the same 64-bit hash the filters probe, which is exact
+    when the hash IS the caller's identity (as in bench's synthetic
+    seen-set job) but would false-drop a colliding URL when the semantic
+    key is wider. Callers whose identity is a string key pass
+    `verify_keys=(cand_col, seen_col)` so suspects verify on the full
+    key — the engine's enqueue path does exactly this inline
+    (epoch.py enqueue_batch verifies on the 'type@url' string), so a
+    64-bit collision can never drop an unseen URL (north rule).
+
+    The plan:
 
     1. probe: candidates whose partition bloom says 'definitely unseen'
        pass through with NO join (the overwhelming majority at steady
@@ -360,7 +385,8 @@ def filtered_anti_join(
     )
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    cv, sv = verify_keys if verify_keys is not None else (cand_key, seen_key)
     verified = suspect.join(
-        seen.select(F.col(seen_key).alias(cand_key)).distinct(), cand_key, "left_anti"
+        seen.select(F.col(sv).alias(cv)).distinct(), cv, "left_anti"
     )
     return fresh.unionByName(verified)

@@ -259,12 +259,18 @@ class CrawlSimulator:
         entries = []
         for s in seeds:
             c = canonicalize_py(s["url"])
+            queue = s.get("queue") or "normal"
+            if queue not in QUEUE_NAMES:
+                # mirror of seeds_to_frontier's raise_error: an unknown
+                # queue never joins pop_schedule's (scope, queue) space
+                # and would strand in the frontier forever
+                raise ValueError(f"unknown queue: {queue}")
             entries.append(
                 {
                     "type": s["type"],
                     "url": c["canonical_url"],
                     "coord": c,
-                    "queue": s.get("queue") or "normal",
+                    "queue": queue,
                     "scope": "global",
                     "policy": s.get("policy") or "default",
                     "attempt_count": 0,

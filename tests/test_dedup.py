@@ -201,3 +201,16 @@ def test_near_dup_clusters_matches_union_find(spark):
     df = spark.createDataFrame(edges, "id_a int, id_b int")
     got = {r["node"]: r["cluster_id"] for r in near_dup_clusters(df).collect()}
     assert got == want
+
+
+def test_simhash_max_hamming_guard(docs_df):
+    """The 4-chunk pigeonhole candidate join is only complete for
+    hamming <= 3; a wider radius must be rejected, not silently lossy."""
+    import pytest
+
+    from crawler_spark.operators.dedup import simhash_near_duplicates
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_duplicates(docs_df, "doc_id", "text", max_hamming=4)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_duplicates(docs_df, "doc_id", "text", max_hamming=-1)

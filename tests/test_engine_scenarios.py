@@ -273,3 +273,69 @@ def test_per_host_lineage_metrics(runs):
         )
     assert got_sched == expect_sched
     assert got_storage == sum(1 for r in log if r["origin"] == "storage")
+
+
+def test_pinned_and_unpinned_same_doc_single_row(spark, tmp_path):
+    """Two DIFFERENT scheduled urls resolving to the SAME document in one
+    epoch (an unpinned and a pinned request for the same package, latest
+    = the pinned revision) must land ONE document row, the simulator's
+    dict-write last-pop-wins semantics (simulator.py:396) — and the
+    chunked store's (doc_id, epoch) uniqueness contract depends on it."""
+    registry = _reg("pin-g", [("1.2.0", False)])
+    seeds = [
+        {"seed_id": 0, "type": "npm", "url": "cd:/npm/npmjs/-/pin-g", "queue": "normal", "policy": "default"},
+        {"seed_id": 1, "type": "npm", "url": "cd:/npm/npmjs/-/pin-g/1.2.0", "queue": "normal", "policy": "default"},
+    ]
+    sim = CrawlSimulator(registry, [], host_budget=8, batch_budget=8)
+    sres = sim.run(seeds, max_epochs=4)
+    store = SnapshotStore(spark, str(tmp_path))
+    eng = CrawlEngine(spark, store, registry_df(spark, registry), host_budget=8, batch_budget=8)
+    eng.run(seeds_df(spark, seeds), max_epochs=4)
+
+    rows = store.read("documents").collect()
+    # both urls were really scheduled in epoch 0 (distinct, both unseen)
+    log0 = [r for r in store.read("schedule_log").collect() if r["epoch"] == 0]
+    assert len(log0) == 2
+    # exactly one row per (doc_id, epoch) — no duplicate append
+    keys = [(r["doc_id"], r["epoch"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert set(r["doc_id"] for r in rows) == set(sres.documents)
+    # and the surviving spans equal the simulator's surviving write
+    by_id = {r["doc_id"]: r for r in rows}
+    for doc_id, doc in sres.documents.items():
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in by_id[doc_id]["spans"]]
+        want = [(s.get("kind"), s.get("text"), s.get("media_ref")) for s in doc["spans"]]
+        assert got == want, doc_id
+
+
+def test_unknown_queue_fails_loudly(spark):
+    """A queue outside the configured four never joins pop_schedule's
+    (scope, queue) space and would strand in the frontier forever —
+    both engines reject it at seed intake instead (the reference's
+    queue lookup throws on an unknown name too)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from crawler_spark.operators.epoch import seeds_to_frontier
+
+    bad = [{"seed_id": 0, "type": "npm", "url": "cd:/npm/npmjs/-/x/1.0.0",
+            "queue": "urgent", "policy": "default"}]
+    with pytest.raises(ValueError, match="unknown queue"):
+        CrawlSimulator(_reg("x", [("1.0.0", False)]), []).seed(bad, epoch=0)
+    with pytest.raises(SparkRuntimeException, match="unknown queue"):
+        seeds_to_frontier(seeds_df(spark, bad)).collect()
+
+
+def test_enqueue_filters_require_partition_count(spark):
+    """seen_filters with the default n_filter_parts=0 would pmod-by-zero
+    every candidate into a filterless cogroup (silently disabling the
+    seen set) — rejected loudly instead."""
+    from crawler_spark.operators.epoch import enqueue_batch, seeds_to_frontier
+    from crawler_spark.operators.seenset import build_filters
+
+    seeds = [{"seed_id": 0, "type": "npm", "url": "cd:/npm/npmjs/-/x/1.0.0",
+              "queue": "normal", "policy": "default"}]
+    entries = seeds_to_frontier(seeds_df(spark, seeds))  # carries _order
+    seen = spark.createDataFrame([], "seen_key string, seen_hash long, first_seen_epoch int")
+    filters = build_filters(seen, n_partitions=4)
+    with pytest.raises(ValueError, match="n_filter_parts"):
+        enqueue_batch(entries, seen, 0, ["_order"], seen_filters=filters)

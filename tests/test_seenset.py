@@ -118,3 +118,53 @@ def test_empty_partition_candidates_pass_through(spark, seen_df):
     probed = probe_candidates(cand, filters_sparse, n_partitions=8)
     assert probed.count() == 100
     assert probed.filter(F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_overflowed_partition_degrades_to_maybe_seen(spark, filters, seen_df):
+    """A partition whose cuckoo build overflowed has false negatives for
+    the lost fingerprints, so the cuckoo probe must degrade the WHOLE
+    partition to maybe_seen=True (conservative — the exact verify
+    restores precision) instead of probing a filter that dropped keys."""
+    # force the overflowed flag on pid 3 without rebuilding a filter
+    forced = filters.withColumn(
+        "overflowed",
+        F.when(F.col("pid") == 3, F.lit(7)).otherwise(F.col("overflowed")),
+    )
+    cand = spark.createDataFrame(
+        [(int(np.int64(k)),) for k in UNSEEN[:2000]], "url_hash long"
+    )
+    probed = probe_candidates(cand, forced, n_partitions=8, use="cuckoo")
+    pid = F.pmod(F.col("url_hash"), F.lit(8)).cast("int")
+    rows = probed.withColumn("_pid", pid).collect()
+    # every candidate in the degraded partition reads maybe_seen
+    assert all(r["maybe_seen"] for r in rows if r["_pid"] == 3)
+    # other partitions keep real probe results (unseen keys mostly miss)
+    others = [r for r in rows if r["_pid"] != 3]
+    assert any(not r["maybe_seen"] for r in others)
+
+
+def test_filtered_anti_join_verify_keys_full_key(spark):
+    """verify_keys verifies suspects on the FULL string key, so a 64-bit
+    hash collision between a candidate and a DIFFERENT seen URL cannot
+    false-drop the candidate (the engine-path semantics, made available
+    to the generic operator)."""
+    # two distinct urls forced onto one hash value (synthetic collision)
+    seen = spark.createDataFrame(
+        [(42, "type@url-seen")], "seen_hash long, seen_key string"
+    )
+    cand = spark.createDataFrame(
+        [(42, "type@url-other"), (42, "type@url-seen"), (7, "type@url-fresh")],
+        "url_hash long, cand_key string",
+    )
+    filters = build_filters(seen, n_partitions=4)
+    # hash-keyed verify (default): the colliding unseen url is dropped —
+    # exact only relative to the hash
+    by_hash = filtered_anti_join(cand, seen, filters, n_partitions=4)
+    assert {r["cand_key"] for r in by_hash.collect()} == {"type@url-fresh"}
+    # full-key verify: the collision survives, only the true dup drops
+    by_key = filtered_anti_join(
+        cand, seen, filters, n_partitions=4, verify_keys=("cand_key", "seen_key")
+    )
+    assert {r["cand_key"] for r in by_key.collect()} == {
+        "type@url-fresh", "type@url-other",
+    }
