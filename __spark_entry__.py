@@ -303,8 +303,10 @@ def q_fetch_join(spark, sf_dir):
 
 
 def q_semver_latest(spark, sf_dir):
-    """Semver latest per group, prereleases excluded with deterministic
-    fallback (lib/baseHandler.js:83-101) — versions synthesized from part."""
+    """Semver latest per group — the reference's filtered reduce SEEDED
+    with the unfiltered list head (lib/baseHandler.js:83-101; the seed
+    participates, so a prerelease head can win). Versions synthesized
+    from part; p_partkey plays the registry list order (release_seq)."""
     from crawler_spark.functions.versions import latest_version_agg
 
     p = _t(spark, sf_dir, "part")
@@ -316,9 +318,13 @@ def q_semver_latest(spark, sf_dir):
         F.when(F.col("p_partkey") % 5 == 0, "-beta.1").otherwise(""),
     )
     return (
-        p.select(F.col("p_brand").alias("brand"), version.alias("version"))
+        p.select(
+            F.col("p_brand").alias("brand"),
+            version.alias("version"),
+            F.col("p_partkey").alias("ord"),
+        )
         .groupBy("brand")
-        .agg(latest_version_agg(F.col("version")).alias("latest"))
+        .agg(latest_version_agg(F.col("version"), F.col("ord")).alias("latest"))
     )
 
 
@@ -407,8 +413,13 @@ def q_fifo_topk(spark, sf_dir):
 
 def _discovery_inputs(spark, sf_dir):
     """Synthetic discovery fixture from part: ordered candidate URLs (a
-    miss-or-non-github first, a real repo second) + a tags dim whose tag
-    form alternates between 'v{v}' and '{v}^{{}}' patterns."""
+    shadow-or-miss first, a real repo second) + a tags dim whose tag form
+    alternates between 'v{v}' and '{v}^{{}}' patterns. Every 4th request's
+    first candidate is a GITLAB url with the SAME (owner, name) as the
+    real github candidate — the reference's host-agnostic uniqWith keeps
+    the gitlab first occurrence, the github twin is removed as a
+    duplicate, and the request resolves NOTHING (sourceDiscovery.js:29-64
+    + the github-only provider check)."""
     p = _t(spark, sf_dir, "part")
     pk = F.col("p_partkey")
     version = F.concat_ws(
@@ -416,7 +427,10 @@ def _discovery_inputs(spark, sf_dir):
     )
     owner = F.concat(F.lit("org"), (pk % 5).cast("string"))
     rname = F.concat(F.lit("repo-"), (pk % 97).cast("string"))
-    cand1 = F.when(pk % 4 == 0, F.lit("https://gitlab.com/org/elsewhere")).otherwise(
+    cand1 = F.when(
+        pk % 4 == 0,
+        F.concat(F.lit("https://gitlab.com/"), owner, F.lit("/"), rname),
+    ).otherwise(
         F.concat(F.lit("https://github.com/"), owner, F.lit("/missing-"), pk.cast("string"))
     )
     cand2 = F.concat(F.lit("git@github.com:"), owner, F.lit("/"), rname, F.lit(".git"))
@@ -2193,17 +2207,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_semver_latest": """
             WITH v AS (
-              SELECT p_brand AS brand,
+              SELECT p_brand AS brand, p_partkey AS ord,
                      CAST(p_size % 9 AS VARCHAR) || '.' || CAST(p_partkey % 20 AS VARCHAR)
                        || '.' || CAST(p_partkey % 7 AS VARCHAR)
                        || CASE WHEN p_partkey % 5 = 0 THEN '-beta.1' ELSE '' END AS version,
-                     p_partkey % 5 = 0 AS is_pre,
-                     (CAST(p_size % 9 AS BIGINT) << 40) + (CAST(p_partkey % 20 AS BIGINT) << 20)
-                       + CAST(p_partkey % 7 AS BIGINT) AS key
-              FROM part)
+                     -- cmp key = (triple << 1) | release-bit, the seeded-reduce order
+                     (((CAST(p_size % 9 AS BIGINT) << 40) + (CAST(p_partkey % 20 AS BIGINT) << 20)
+                       + CAST(p_partkey % 7 AS BIGINT)) << 1)
+                       + CASE WHEN p_partkey % 5 = 0 THEN 0 ELSE 1 END AS cmp,
+                     p_partkey % 5 = 0 AS is_pre
+              FROM part),
+            agg AS (
+              SELECT brand,
+                     arg_min(version, ord) AS seed_v,
+                     arg_min(cmp, ord) AS seed_cmp,
+                     arg_max(version, CAST(cmp AS HUGEINT) * 1000000000 - ord)
+                       FILTER (WHERE NOT is_pre) AS best_v,
+                     max(cmp) FILTER (WHERE NOT is_pre) AS best_cmp
+              FROM v GROUP BY brand)
             SELECT brand,
-                   coalesce(arg_max(version, key) FILTER (WHERE NOT is_pre), max(version)) AS latest
-            FROM v GROUP BY brand
+                   CASE WHEN best_cmp IS NOT NULL AND best_cmp > seed_cmp
+                        THEN best_v ELSE seed_v END AS latest
+            FROM agg
         """,
         "q_nuget_normalize": """
             WITH v AS (
@@ -2211,14 +2236,23 @@ def oracle_sql() -> dict[str, str]:
                      printf('%d.%02d.%d%s', p_size % 9, p_partkey % 20, p_partkey % 7,
                             CASE WHEN p_partkey % 11 = 0 THEN '-Beta' ELSE '' END) AS version
               FROM part)
-            SELECT partkey, version,
-                   array_to_string(
+            , t AS (
+              SELECT partkey, version,
                      list_transform(string_split(split_part(version, '-', 1), '.'),
                        x -> CASE WHEN regexp_replace(x, '^0+', '') = '' THEN '0'
-                                 ELSE regexp_replace(x, '^0+', '') END), '.')
-                   || CASE WHEN contains(version, '-') THEN '-' || split_part(version, '-', 2) ELSE '' END
-                   AS normalized
-            FROM v
+                                 ELSE regexp_replace(x, '^0+', '') END) AS trimmed,
+                     string_split(version, '-') AS dash_parts
+              FROM v)
+            SELECT partkey, version,
+                   array_to_string(
+                     list_filter(
+                       list_concat(
+                         [array_to_string(
+                            CASE WHEN len(trimmed) >= 4 AND trimmed[4] = '0'
+                                 THEN trimmed[1:3] ELSE trimmed END, '.')],
+                         dash_parts[2:]),
+                       x -> x <> ''), '-') AS normalized
+            FROM t
         """,
         "q_packagist_manifest": """
             WITH base AS (
@@ -3029,7 +3063,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT p_partkey AS request_id,
                      CAST(p_size % 9 AS VARCHAR) || '.' || CAST(p_partkey % 20 AS VARCHAR)
                        || '.' || CAST(p_partkey % 7 AS VARCHAR) AS version,
-                     [CASE WHEN p_partkey % 4 = 0 THEN 'https://gitlab.com/org/elsewhere'
+                     [CASE WHEN p_partkey % 4 = 0
+                           THEN 'https://gitlab.com/org' || CAST(p_partkey % 5 AS VARCHAR)
+                                || '/repo-' || CAST(p_partkey % 97 AS VARCHAR)
                            ELSE 'https://github.com/org' || CAST(p_partkey % 5 AS VARCHAR)
                                 || '/missing-' || CAST(p_partkey AS VARCHAR) END,
                       'git@github.com:org' || CAST(p_partkey % 5 AS VARCHAR)
@@ -3050,16 +3086,23 @@ def oracle_sql() -> dict[str, str]:
                      unnest(list_transform(cands, (c, i) -> struct_pack(u := c, i := i))) AS s
               FROM req),
             parsed AS (
+              -- parse-github-url is host-agnostic: dedup across hosts,
+              -- resolve github only (a non-github first occurrence
+              -- shadows its (owner, name))
               SELECT request_id, version, s.i AS cand_idx,
-                     nullif(regexp_extract(s.u, 'github\\.com[:/]+([^/?#\\s]+)/', 1), '') AS owner,
+                     nullif(regexp_extract(s.u, '[\\w.-]+\\.[A-Za-z]{2,}[:/]+([^/?#\\s]+)/', 1), '') AS owner,
                      nullif(regexp_replace(
-                       nullif(regexp_extract(s.u, 'github\\.com[:/]+[^/?#\\s]+/([^/?#\\s]+)', 1), ''),
-                       '\\.git$', ''), '') AS name
+                       nullif(regexp_extract(s.u, '[\\w.-]+\\.[A-Za-z]{2,}[:/]+[^/?#\\s]+/([^/?#\\s]+)', 1), ''),
+                       '\\.git$', ''), '') AS name,
+                     regexp_matches(s.u, '(^|[/@.])github\\.com[:/]') AS gh
               FROM ex),
             uniq AS (
-              SELECT request_id, owner, name, min(cand_idx) AS cand_idx, any_value(version) AS version
+              SELECT request_id, owner, name, min(cand_idx) AS cand_idx,
+                     arg_min(gh, cand_idx) AS gh,
+                     arg_min(version, cand_idx) AS version
               FROM parsed WHERE owner IS NOT NULL AND name IS NOT NULL
-              GROUP BY request_id, owner, name),
+              GROUP BY request_id, owner, name
+              HAVING arg_min(gh, cand_idx)),
             pat AS (
               SELECT *, [version || '^{}', 'v' || version || '^{}', version, 'v' || version,
                          'rel/v' || version, 'v.' || version, version || '.0', 'v' || version || '.0']

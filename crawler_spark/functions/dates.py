@@ -1,7 +1,7 @@
 """Release-date parsing (lib/utils.js:70-97 `extractDate`): a coalesce
 chain over the formats the reference tries in order — ISO 8601, RFC
 2822, HTTP-date, SQL timestamp, then the pom-properties custom format —
-followed by the sanity window [1950-01-01, now + 30 days]; anything
+followed by the sanity window (1950-01-01, now + 30 days]; anything
 unparseable or out of window is null.
 
 Pure `try_to_timestamp` coalesce — every branch is JVM-side, no UDFs,
@@ -39,7 +39,12 @@ def extract_date(raw: Column, now: Column | str) -> Column:
         F.try_to_timestamp(no_dow_comma, F.lit("dd MMM yyyy HH:mm:ss 'GMT'")),  # HTTP-date
         F.try_to_timestamp(no_dow_space, F.lit("MMM d HH:mm:ss 'GMT'XXX yyyy")),  # pom
     )
-    in_window = (parsed >= F.to_timestamp(F.lit(_VALID_START))) & (
+    # START boundary is EXCLUSIVE: the reference wraps the parsed date in
+    # a zero-length luxon Interval and tests interval.isBefore(validStart)
+    # = `end <= validStart` (half-open intervals), so a date of exactly
+    # 1950-01-01T00:00:00 is rejected. The END boundary is inclusive
+    # (isAfter = `start > validEnd`).
+    in_window = (parsed > F.to_timestamp(F.lit(_VALID_START))) & (
         parsed <= now_ts + F.expr("INTERVAL 30 DAYS")
     )
     return F.when(in_window, parsed)
@@ -85,6 +90,6 @@ def extract_date_py(raw: str | None, now: "datetime.datetime") -> "datetime.date
             continue
     if parsed is None:
         return None
-    if parsed < dt.datetime(1950, 1, 1) or parsed > now + dt.timedelta(days=30):
-        return None
+    if parsed <= dt.datetime(1950, 1, 1) or parsed > now + dt.timedelta(days=30):
+        return None  # start exclusive, end inclusive — see extract_date
     return parsed

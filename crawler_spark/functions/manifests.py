@@ -137,7 +137,9 @@ def candidate_source_urls(
         .when(provider == "nuget", F.array(*_nuget_style(registry), *_nuget_style(manifest), *_nuget_style(extra)))
         .otherwise(F.array().cast("array<string>"))
     )
-    return F.filter(arr, lambda x: x.isNotNull())
+    # `.filter(e => e)` is a TRUTHINESS filter: empty strings drop too
+    # (matching candidate_source_urls_py's `if c`)
+    return F.filter(arr, lambda x: x.isNotNull() & (x != ""))
 
 
 # ---------------------------------------------------------------------------

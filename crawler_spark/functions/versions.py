@@ -49,35 +49,74 @@ def semver_key(version: Column) -> Column:
     )
 
 
-def latest_version_agg(version: Column) -> Column:
-    """Aggregate: latest non-prerelease version (baseHandler.js:83-96).
+def semver_cmp_key(version: Column) -> Column:
+    """Comparison key mirroring semver.gt for the seed/stable comparisons
+    the reference's reduce performs: the packed (major,minor,patch) with a
+    release bit below it, so a release outranks a prerelease of the SAME
+    triple (semver.gt('3.0.0','3.0.0-alpha') is true). Prerelease
+    IDENTIFIER ordering never matters here: the filtered reduce only ever
+    compares a stable version against the (possibly prerelease) seed."""
+    rel = F.when(is_prerelease(version), F.lit(0)).otherwise(F.lit(1))
+    return F.shiftleft(semver_key(version), 1) + rel
 
-    Usage: df.groupBy(...).agg(latest_version_agg(F.col('version'))).
-    `max_by` over a null-keyed row ignores prereleases; falls back to the
-    lexically-max raw version when *all* versions are prerelease (the
-    reference's reduce seeds with versions[0]; with every candidate
-    filtered the reduce returns the seed — we pin a deterministic
-    fallback instead of an arbitrary element).
+
+def latest_version_agg(version: Column, order: Column) -> Column:
+    """Aggregate: the reference's latest-version resolution, exactly
+    (baseHandler.js:83-96):
+
+        versions.filter(v => !isPreRelease(v))
+                .reduce((max, cur) => semver.gt(cur, max) ? cur : max,
+                        versions[0])
+
+    The seed is the UNFILTERED head of the registry's version list
+    (`order` — release_seq in the registry dim) and PARTICIPATES in the
+    comparisons: a prerelease head that semver-outranks every stable
+    version wins, and when every version is prerelease the head itself is
+    returned (NOT the max prerelease). Strict gt means the earliest of
+    semver-equal versions wins — hence the (-order) tiebreak on max_by.
+
+    Usage: df.groupBy(...).agg(latest_version_agg(F.col('version'),
+    F.col('release_seq'))).
     """
-    key = F.when(~is_prerelease(version), semver_key(version))
-    return F.coalesce(F.max_by(version, key), F.max(version))
+    seed = F.min_by(version, order)
+    stable_key = F.when(
+        ~is_prerelease(version),
+        F.struct(semver_cmp_key(version).alias("k"), (F.lit(0) - order).alias("o")),
+    )
+    best_stable = F.max_by(version, stable_key)
+    return F.when(
+        best_stable.isNotNull()
+        & (semver_cmp_key(best_stable) > semver_cmp_key(seed)),
+        best_stable,
+    ).otherwise(seed)
 
 
 def nuget_normalize(version: Column) -> Column:
-    """NuGet normalized version (nugetFetch.js:81-85).
+    """NuGet normalized version — an exact mirror of nugetFetch.js:81-85:
 
-    Strip leading zeros from each numeric part ('01.02.03' → '1.2.3'),
-    drop a 4th part equal to 0 ('1.0.01.0' → '1.0.1'), keep the
-    prerelease suffix ('1.00.1-Beta' → '1.0.1-Beta').
+        parts   = version.split('-')
+        trimmed = parts[0].split('.').map(p => trimStart(p, '0') || '0')
+        [(trimmed[3] === '0' ? trimmed.slice(0, 3) : trimmed).join('.'),
+         ...parts.slice(1)].filter(x => x).join('-')
+
+    Three consequences the obvious reading misses, all mirrored here:
+    * `trimmed[3] === '0'` checks INDEX 3 on any length, and slice(0,3)
+      then drops EVERYTHING past part 3 ('1.2.3.0.5' → '1.2.3');
+    * `.filter(x => x)` collapses empty dash segments ('1.00.1-' →
+      '1.0.1', '1.0.0-beta--x' → '1.0.0-beta-x');
+    * leading zeros strip per numeric part ('01.02.03' → '1.2.3').
     """
-    base = F.split_part(version, F.lit("-"), F.lit(1))
-    suffix = F.substring(version, F.length(base) + 1, F.lit(2147483647))
-    parts = F.split(base, r"\.")
+    dash_parts = F.split(version, "-")
+    parts = F.split(F.element_at(dash_parts, 1), r"\.")
     trimmed = F.transform(
         parts, lambda p: F.coalesce(F.nullif(F.regexp_replace(p, r"^0+", ""), F.lit("")), F.lit("0"))
     )
     drop4 = F.when(
-        (F.size(trimmed) == 4) & (F.element_at(trimmed, 4) == "0"),
+        (F.size(trimmed) >= 4) & (F.element_at(trimmed, 4) == "0"),
         F.slice(trimmed, 1, 3),
     ).otherwise(trimmed)
-    return F.concat(F.array_join(drop4, "."), suffix)
+    rebuilt = F.concat(
+        F.array(F.array_join(drop4, ".")),
+        F.slice(dash_parts, 2, F.greatest(F.size(dash_parts) - 1, F.lit(0))),
+    )
+    return F.array_join(F.filter(rebuilt, lambda x: x != ""), "-")

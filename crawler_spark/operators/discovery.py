@@ -29,19 +29,28 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# parse-github-url equivalent: owner + repo from https/git/ssh forms,
-# trailing .git and path/query/fragment stripped
-_OWNER_RE = r"github\.com[:/]+([^/?#\s]+)/"
-_NAME_RE = r"github\.com[:/]+[^/?#\s]+/([^/?#\s]+)"
+# parse-github-url equivalent. The npm package is HOST-AGNOSTIC despite
+# its name: it extracts owner/name from ANY git-ish URL (https/git/ssh),
+# so resolveGitHubLocations' uniqWith dedups across hosts — a gitlab URL
+# ahead of a same-(owner,name) github URL REMOVES the github one, and the
+# provider check then fails the gitlab survivor (sourceDiscovery.js:39-64).
+# Only discoverRevision's getProvider test is github-specific.
+_OWNER_RE = r"[\w.-]+\.[A-Za-z]{2,}[:/]+([^/?#\s]+)/"
+_NAME_RE = r"[\w.-]+\.[A-Za-z]{2,}[:/]+[^/?#\s]+/([^/?#\s]+)"
 
 
-def github_owner(url: Column) -> Column:
+def repo_owner(url: Column) -> Column:
     return F.nullif(F.regexp_extract(url, _OWNER_RE, 1), F.lit(""))
 
 
-def github_name(url: Column) -> Column:
+def repo_name(url: Column) -> Column:
     raw = F.nullif(F.regexp_extract(url, _NAME_RE, 1), F.lit(""))
     return F.nullif(F.regexp_replace(raw, r"\.git$", ""), F.lit(""))
+
+
+def is_github_url(url: Column) -> Column:
+    """getProvider(candidate) === 'github' (utils.js)."""
+    return url.rlike(r"(^|[/@.])github\.com[:/]")
 
 
 def tag_patterns(version: Column) -> Column:
@@ -79,13 +88,19 @@ def discover_sources(
     )
     parsed = ex.select(
         "_rid", "_v", "cand_idx",
-        github_owner(F.col("cand_url")).alias("owner"),
-        github_name(F.col("cand_url")).alias("name"),
+        repo_owner(F.col("cand_url")).alias("owner"),
+        repo_name(F.col("cand_url")).alias("name"),
+        is_github_url(F.col("cand_url")).alias("_gh"),
     ).filter(F.col("owner").isNotNull() & F.col("name").isNotNull())
-    # uniqWith on (owner, name), first occurrence wins (sourceDiscovery.js:62)
+    # uniqWith on (owner, name), FIRST occurrence wins across hosts
+    # (sourceDiscovery.js:62); only a first-occurrence github candidate
+    # can resolve — a same-(owner,name) non-github URL earlier in the
+    # list shadows the github one and the pair resolves nothing.
     uniq = parsed.groupBy("_rid", "owner", "name").agg(
-        F.min("cand_idx").alias("cand_idx"), F.first("_v").alias("_v")
-    )
+        F.min("cand_idx").alias("cand_idx"),
+        F.min_by("_gh", "cand_idx").alias("_gh"),
+        F.min_by("_v", "cand_idx").alias("_v"),
+    ).filter(F.col("_gh"))
     pat = uniq.withColumn("_patterns", tag_patterns(F.col("_v")))
     j = pat.join(tags, ["owner", "name"]).withColumn(
         "pattern_idx", F.array_position(F.col("_patterns"), F.col("tag"))
@@ -148,6 +163,7 @@ def resolve_registry_sources(registry: DataFrame, tags: DataFrame | None) -> Dat
 
 _OWNER_RE_PY = re.compile(_OWNER_RE)
 _NAME_RE_PY = re.compile(_NAME_RE)
+_GH_RE_PY = re.compile(r"(^|[/@.])github\.com[:/]")
 
 
 def tag_patterns_py(version: str) -> list[str]:
@@ -173,7 +189,11 @@ def discover_source_py(
         key = (owner, name)
         if key not in seen:
             seen.add(key)
-            resolved.append(key)
+            # host-agnostic dedup, github-only resolve: a non-github
+            # first occurrence shadows its (owner, name) — mirror of
+            # discover_sources' is_github_url filter on the argmin row
+            if _GH_RE_PY.search(u or ""):
+                resolved.append(key)
     for owner, name in resolved:
         refs = tags_by_repo.get((owner, name), {})
         for p in tag_patterns_py(version):

@@ -340,7 +340,7 @@ class CrawlEngine:
             .agg(
                 F.first("status").alias("status"),
                 F.first("fail_attempts").alias("fail_attempts"),
-                latest_version_agg(F.col("version")).alias("latest_version"),
+                latest_version_agg(F.col("version"), F.col("release_seq")).alias("latest_version"),
             )
         )
         self.visitor_map = visitor_map_df(spark).withColumn(

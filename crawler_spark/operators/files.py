@@ -30,7 +30,15 @@ INTERESTING_EXTENSIONS = (".MD", ".HTML", ".TXT")
 
 
 def _is_git_file(path: Column) -> Column:
-    return path.startswith(".git/") | path.contains("/.git/") | (path == ".git")
+    # utils.js isGitFile matches any PATH SEGMENT equal to '.git', which
+    # includes a last segment named '.git' (a submodule gitlink file) —
+    # hence the endswith arm alongside the directory-prefix forms
+    return (
+        path.startswith(".git/")
+        | path.contains("/.git/")
+        | path.endswith("/.git")
+        | (path == ".git")
+    )
 
 
 def is_interestingly_named(path: Column) -> Column:

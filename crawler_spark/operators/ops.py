@@ -38,10 +38,7 @@ def flush_queue(store: SnapshotStore, queue: str, epoch: int) -> int:
     flushQueue), committed as a new snapshot. Returns rows flushed."""
     frontier = store.read("frontier")
     keep = frontier.filter(F.col("queue") != queue)
-    # one pass for both counts
-    row = frontier.agg(
-        F.count("*").alias("n"), F.count_if(F.col("queue") == queue).alias("f")
-    ).collect()[0]
+    row = frontier.agg(F.count_if(F.col("queue") == queue).alias("f")).collect()[0]
     flushed = int(row["f"])
     store.commit(epoch=epoch, replace={"frontier": keep}, meta={"op": f"flush:{queue}"})
     return flushed

@@ -265,7 +265,12 @@ def global_topk_by_key(
     because the key is unique — the returned set and ranks are exactly
     the global top-k regardless of which cutoff the sketch produced.
     """
-    df = df.persist()  # 2-3 passes over the same input (count/sketch/filter)
+    # 2-3 passes over the same input (count/sketch/filter). localCheckpoint,
+    # not persist: the returned plan still references the materialized
+    # input, so an in-function unpersist is impossible and a persist
+    # would leak one CacheManager entry per call; checkpoint blocks are
+    # ContextCleaner-freed once the result is garbage-collected.
+    df = df.localCheckpoint(eager=False)
     n = df.count()
     if n <= k:
         w = Window.orderBy(key_col)
@@ -302,9 +307,10 @@ def dense_global_seq(
     partition (bounded ~n/P rows per sort), count rows per partition
     (map-side-combined aggregate, P rows), turn counts into exclusive
     prefix offsets with a window over those P rows (trivially small),
-    broadcast-join the offsets back. Everything stays lazy — no driver
-    action; the range sampler's hidden pass re-reads the (caller-cached)
-    input once.
+    broadcast-join the offsets back. No driver action of its own — the
+    range-partitioned batch materializes lazily (localCheckpoint, see
+    below) at the caller's first action, so rank and offsets are
+    guaranteed to read ONE partitioning.
 
     Scale: largest sort is one partition's slice; the only global
     structure is the P-row offset table. At 10^8-row enqueue batches with
@@ -312,7 +318,22 @@ def dense_global_seq(
     vs the old single-task 10^8-row sort.
     """
     okey = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    part = df.repartitionByRange(*okey).withColumn("_dgs_pid", F.spark_partition_id())
+    # MATERIALIZED once (non-eager localCheckpoint): `part` feeds both the
+    # local-rank and the offset-count subtrees, which column pruning makes
+    # NON-identical — ReuseExchange cannot fire, so without this boundary
+    # each subtree would run its own range shuffle with its own
+    # RangePartitioner SAMPLING (seeded per RDD id). On inputs large
+    # enough that the sampler no longer reads every row, the two
+    # samplings can pick different partition boundaries, and offsets
+    # would credit pid N with counts from a different row set than the
+    # one local ranked there — duplicate/missing seq values. Tiny inputs
+    # (exhaustively sampled) mask it; the checkpoint pins ONE
+    # partitioning for both consumers at any scale.
+    part = (
+        df.repartitionByRange(*okey)
+        .withColumn("_dgs_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     local = part.withColumn(
         "_dgs_rank",
         F.row_number().over(Window.partitionBy("_dgs_pid").orderBy(*okey)),

@@ -53,7 +53,12 @@ def scancode_attachment_paths(files: DataFrame) -> DataFrame:
         "doc",
         F.lit("package").alias("kind"),
         F.when(
-            (F.col("ftype") == "directory") & F.col("entry.manifest_path").isNotNull(),
+            # `entry.manifest_path` in the reference is a TRUTHINESS test:
+            # an empty string falls through to the file's own path, not
+            # to a 'dir/' concat with an empty subpath
+            (F.col("ftype") == "directory")
+            & F.col("entry.manifest_path").isNotNull()
+            & (F.col("entry.manifest_path") != ""),
             F.concat(
                 F.when(F.col("path") != "", F.concat(F.col("path"), F.lit("/"))).otherwise(F.lit("")),
                 F.col("entry.manifest_path"),

@@ -125,15 +125,25 @@ def is_prerelease_py(version: str) -> bool:
     return bool(m and m.group(4))
 
 
+def _semver_cmp_key_py(version: str) -> int:
+    """Twin of versions.semver_cmp_key: release bit below the triple."""
+    return (semver_key_py(version) << 1) | (0 if is_prerelease_py(version) else 1)
+
+
 def latest_version_py(versions: list[str]) -> str | None:
-    """baseHandler.js:83-101: max non-prerelease by semver; deterministic
-    fallback max(raw) when all are prereleases (see latest_version_agg)."""
+    """baseHandler.js:83-101, exactly: the filtered reduce SEEDED with the
+    unfiltered list head `versions[0]` — the seed participates, so a
+    prerelease head that semver-outranks every stable version wins, and
+    an all-prerelease list returns its head (twin of
+    versions.latest_version_agg; `versions` must arrive in registry list
+    order, i.e. release_seq-sorted)."""
     if not versions:
         return None
-    stable = [v for v in versions if not is_prerelease_py(v)]
-    if stable:
-        return max(stable, key=lambda v: (semver_key_py(v), v))
-    return max(versions)
+    best = versions[0]
+    for cur in versions:
+        if not is_prerelease_py(cur) and _semver_cmp_key_py(cur) > _semver_cmp_key_py(best):
+            best = cur
+    return best
 
 
 def tool_output_span(tool_type: str, subject_url: str) -> list[dict]:
@@ -480,7 +490,10 @@ class CrawlSimulator:
                 return "Requeued", "origin"
             # resolve revision: absent → latest non-prerelease (baseHandler.js:83-96)
             if not c["revision"]:
-                latest = latest_version_py([r["version"] for r in rows])
+                # registry list order = release_seq (the engine's order col)
+                latest = latest_version_py(
+                    [r["version"] for r in sorted(rows, key=lambda r: r["release_seq"])]
+                )
                 c = dict(c, revision=latest)
                 c["canonical_url"] = coord_url(c)
             reg_row = next((r for r in rows if r["version"] == c["revision"]), None)

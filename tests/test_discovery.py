@@ -39,6 +39,15 @@ TRICKY = [
     # lower-priority pattern (candidate order beats pattern order)
     ("4.0.0", ["https://github.com/owner3/low-pattern",
                "https://github.com/owner4/high-pattern"]),
+    # host-agnostic uniqWith: a gitlab URL with the SAME (owner, name)
+    # ahead of the github twin REMOVES it as a duplicate, and the gitlab
+    # survivor fails the github-only provider check → resolves nothing
+    # even though the tag exists (sourceDiscovery.js:29-64)
+    ("1.2.3", ["https://gitlab.com/owner1/repo1",
+               "https://github.com/owner1/repo1"]),
+    # ...but a DIFFERENT-(owner, name) gitlab URL shadows nothing
+    ("1.2.3", ["https://gitlab.com/owner9/other",
+               "https://github.com/owner1/repo1"]),
 ]
 
 TAGS = [
@@ -73,6 +82,8 @@ def test_spark_matches_python_twin(spark):
     assert 3 not in got and 4 not in got
     assert got[6] == ("owner2", "repo2", "c" * 40)
     assert got[7] == ("owner3", "low-pattern", "d" * 40)  # candidate order wins
+    assert 8 not in got  # gitlab shadow: same-(owner,name) twin removed
+    assert got[9] == ("owner1", "repo1", "b" * 40)  # different repo: no shadow
 
 
 def _reg_row(name, candidate_urls):

@@ -61,13 +61,18 @@ SEMVER = st.tuples(
 @given(versions=st.lists(SEMVER, min_size=1, max_size=20))
 @settings(max_examples=200, deadline=None)
 def test_latest_version_properties(versions):
+    """Mirrors the seeded reduce (baseHandler.js:95): the result is the
+    cmp-key argmax over {versions[0]} ∪ stable, earliest of equals."""
+    from crawler_spark.simulator import _semver_cmp_key_py
+
     latest = latest_version_py(versions)
     assert latest in versions
     stable = [v for v in versions if not is_prerelease_py(v)]
-    if stable:
-        # the chosen version is stable and key-maximal among stable ones
-        assert not is_prerelease_py(latest)
-        assert all(semver_key_py(latest) >= semver_key_py(v) for v in stable)
+    pool = [versions[0]] + stable
+    assert _semver_cmp_key_py(latest) == max(_semver_cmp_key_py(v) for v in pool)
+    assert latest == versions[0] or latest in stable
+    if not stable:
+        assert latest == versions[0]
 
 
 @given(a=SEMVER, b=SEMVER)
@@ -237,7 +242,7 @@ def test_extract_date_rfc2822_offset_normalizes_to_utc(instant, dow, off_min, pa
     instant = instant.replace(microsecond=0)
     utc = instant - _dt.timedelta(minutes=off_min)
     got = extract_date_py(_rfc2822(instant, dow, off_min, pad_day), _NOW)
-    if _dt.datetime(1950, 1, 1) <= utc <= _WINDOW_END:
+    if _dt.datetime(1950, 1, 1) < utc <= _WINDOW_END:
         assert got == utc
     else:
         assert got is None
@@ -246,14 +251,20 @@ def test_extract_date_rfc2822_offset_normalizes_to_utc(instant, dow, off_min, pa
 @given(off_min=_OFFSET_MIN, dow=_DOW, delta_s=st.integers(-2, 2))
 @settings(max_examples=200, deadline=None)
 def test_extract_date_window_boundaries_are_inclusive(off_min, dow, delta_s):
-    """utils.js:93-96: instant < 1950-01-01 or > now+30d → null; the
-    boundary instants themselves are kept. Holds for every offset
-    rendering of the same instant."""
-    for boundary, inside in ((_dt.datetime(1950, 1, 1), 1), (_WINDOW_END, -1)):
+    """utils.js:93-96 via zero-length luxon Interval: isBefore(validStart)
+    is `end <= validStart` (half-open), so the START boundary instant is
+    REJECTED; isAfter(validEnd) is `start > validEnd`, so the END
+    boundary instant is kept. Holds for every offset rendering of the
+    same instant."""
+    for boundary, inside, keep_boundary in (
+        (_dt.datetime(1950, 1, 1), 1, False),
+        (_WINDOW_END, -1, True),
+    ):
         utc = boundary + _dt.timedelta(seconds=delta_s)
         local = utc + _dt.timedelta(minutes=off_min)
         got = extract_date_py(_rfc2822(local, dow, off_min, True), _NOW)
-        if delta_s * inside >= 0:
+        kept = delta_s * inside > 0 or (delta_s == 0 and keep_boundary)
+        if kept:
             assert got == utc, (boundary, delta_s, off_min)
         else:
             assert got is None, (boundary, delta_s, off_min)
