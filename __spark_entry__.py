@@ -850,9 +850,16 @@ def q_manifest_discovery(spark, sf_dir):
 def _top_ranked(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     rank = F.col("p_partkey") - 1  # partkeys are 1..N contiguous
+    # every 6th name is a SCOPED npm package (`@scopeK/pkgN`) to exercise
+    # top.js:103-106's namespace split; other registries treat the '/'
+    # name as an opaque string
+    name = F.when(
+        rank % 6 == 0,
+        F.concat(F.lit("@scope"), (rank % 4).cast("string"), F.lit("/pkg"), rank.cast("string")),
+    ).otherwise(F.concat(F.lit("pkg"), rank.cast("string")))
     return p.select(
         rank.alias("rank"),
-        F.concat(F.lit("pkg"), rank.cast("string")).alias("name"),
+        name.alias("name"),
         F.concat(F.lit("2."), (F.col("p_size") % 5).cast("string"), F.lit(".0")).alias("version"),
     )
 
@@ -2313,10 +2320,12 @@ def oracle_sql() -> dict[str, str]:
               FROM specs s JOIN repodata r ON s.name = r.name
               WHERE (s.want_version IS NULL OR s.want_version = r.version)
                 AND (s.want_build IS NULL OR starts_with(r.build, s.want_build)))
-            SELECT spec_id,
-                   arg_max(package_file, timestamp) AS package_file,
-                   arg_max(version || '-' || build, timestamp) AS resolved_revision
-            FROM j GROUP BY spec_id
+            SELECT spec_id, package_file, version || '-' || build AS resolved_revision
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY spec_id
+                    ORDER BY coalesce(timestamp, 0) DESC, package_file) AS rn
+                  FROM j)
+            WHERE rn = 1
         """,
         # independent expected-value oracle (not a mirrored string-surgery
         # implementation): the parse semantics per fixture case are stated
@@ -2576,11 +2585,17 @@ def oracle_sql() -> dict[str, str]:
         "q_top_paging": """
             WITH ranked AS (
               SELECT p_partkey - 1 AS rank,
-                     'pkg' || CAST(p_partkey - 1 AS VARCHAR) AS name,
+                     CASE WHEN (p_partkey - 1) % 6 = 0
+                          THEN '@scope' || CAST((p_partkey - 1) % 4 AS VARCHAR)
+                               || '/pkg' || CAST(p_partkey - 1 AS VARCHAR)
+                          ELSE 'pkg' || CAST(p_partkey - 1 AS VARCHAR) END AS name,
                      '2.' || CAST(p_size % 5 AS VARCHAR) || '.0' AS version
               FROM part)
             SELECT rank, 36 + (rank - 36) // 36 * 36 AS page_offset, 'npm' AS kind,
-                   'cd:/npm/npmjs/-/' || name || '/' || version AS url
+                   -- top.js:103-106: scoped names split into namespace/name
+                   'cd:/npm/npmjs/' ||
+                   CASE WHEN contains(name, '/') THEN name ELSE '-/' || name END
+                   || '/' || version AS url
             FROM ranked WHERE rank >= 36 AND rank < 144
             UNION ALL
             SELECT rank, 150 + (rank - 150) // 100 * 100, 'crates',

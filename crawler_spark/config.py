@@ -81,10 +81,6 @@ PROVIDER_HOSTS: dict[str, str] = {
 }
 UNKNOWN_HOST = "unknown"
 
-# Tool-task types queued on scope='local'
-# (/root/reference/providers/process/abstractProcessor.js:243-246).
-LOCAL_TOOL_TYPES: tuple[str, ...] = ("licensee", "reuse", "scancode", "fossology")
-
 # Named traversal policies → (fetch family, freshness)
 # (/root/reference/ghcrawler/lib/traversalPolicy.js:124-171).
 # Fetch families (traversalPolicy.js:4-11): storageOnly / originStorage /

@@ -61,6 +61,16 @@ def top_seed_requests(
     provider = {"npm": "npm/npmjs", "crates": "crate/cratesio", "nuget": "nuget/nuget"}[kind]
     if kind == "nuget":
         url = F.concat(F.lit(f"cd:/{provider}/-/"), F.col(name_col))
+    elif kind == "npm":
+        # top.js:103-106: a scoped package name splits on '/' into
+        # namespace/name (`@babel/core` → cd:/npm/npmjs/@babel/core/{v});
+        # unscoped names take namespace '-'
+        scoped = F.col(name_col).contains("/")
+        ns = F.when(scoped, F.split_part(F.col(name_col), F.lit("/"), F.lit(1))).otherwise(F.lit("-"))
+        nm = F.when(scoped, F.split_part(F.col(name_col), F.lit("/"), F.lit(2))).otherwise(F.col(name_col))
+        url = F.concat(
+            F.lit(f"cd:/{provider}/"), ns, F.lit("/"), nm, F.lit("/"), F.col(version_col)
+        )
     else:
         url = F.concat(
             F.lit(f"cd:/{provider}/-/"), F.col(name_col), F.lit("/"), F.col(version_col)

@@ -137,16 +137,13 @@ def to_urn(
 
 
 def host_for_provider(provider: Column) -> Column:
-    """Politeness-partition key: registry host per provider (fetcher base URLs)."""
-    mapping = F.lit(None).cast("string")
-    expr = provider
-    # Build a chained CASE; small literal map → constant-folded by Catalyst.
-    result = None
-    for prov, host in PROVIDER_HOSTS.items():
-        cond = F.when(expr == prov, F.lit(host))
-        result = cond if result is None else result.when(expr == prov, F.lit(host))
-    del mapping
-    return result.otherwise(F.lit(UNKNOWN_HOST))
+    """Politeness-partition key: registry host per provider (fetcher base
+    URLs). A chained CASE over the small literal map; UNKNOWN_HOST
+    otherwise (also when the map is empty)."""
+    result: Column = F.lit(UNKNOWN_HOST)
+    for prov, host in reversed(PROVIDER_HOSTS.items()):
+        result = F.when(provider == prov, F.lit(host)).otherwise(result)
+    return result
 
 
 def url_hash(canonical_url: Column) -> Column:
@@ -166,13 +163,16 @@ def with_parsed_coordinates(df: DataFrame, url_col: str = "url") -> DataFrame:
         cols["type"], cols["provider"], cols["namespace"], cols["name"],
         cols["revision"], cols["tool"], cols["tool_version"],
     )
-    out = df
-    for k, v in cols.items():
-        out = out.withColumn(k, v)
-    return (
-        out.withColumn("canonical_url", canon)
-        .withColumn("url_hash", url_hash(F.col("canonical_url")))
-        .withColumn("host", host_for_provider(F.col("provider")))
+    # genuinely ONE select (the docstring's claim): every derived column
+    # is a pure expression over the url, so nothing needs a prior
+    # projection; identical subtrees (canon twice) fall to Catalyst CSE.
+    # Callers must not already carry these column names (all pre-rename).
+    return df.select(
+        "*",
+        *[v.alias(k) for k, v in cols.items()],
+        canon.alias("canonical_url"),
+        url_hash(canon).alias("url_hash"),
+        host_for_provider(cols["provider"]).alias("host"),
     )
 
 

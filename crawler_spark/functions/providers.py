@@ -109,10 +109,16 @@ def conda_match_packages(
     version?, build_prefix?) pick the repodata row (name, version, build,
     timestamp, package_file) where name matches, version matches when
     given, build startswith build_prefix when given — newest timestamp
-    first (condaFetch.js:112 sort). Returns (spec_id, package_file,
-    resolved_revision='{version}-{build}').
+    first with `timestamp || 0` NULL-handling (condaFetch.js:112 sort: a
+    match with no timestamp still matches, it just sorts last). Returns
+    (spec_id, package_file, resolved_revision='{version}-{build}').
 
-    Hash join on name (uniform); one max_by per spec."""
+    The reference's stable sort keeps repodata enumeration order on
+    equal timestamps; enumeration order has no column here, so ties
+    break deterministically by package_file ascending instead of
+    partition order.
+
+    Hash join on name (uniform); one min_by per spec."""
     s = specs.select(
         F.col(spec_id_col),
         F.col("name"),
@@ -123,12 +129,14 @@ def conda_match_packages(
         (F.col("_want_version").isNull() | (F.col("_want_version") == F.col("version")))
         & (F.col("_want_build").isNull() | F.col("build").startswith(F.col("_want_build")))
     )
+    key = F.struct(
+        (F.lit(0) - F.coalesce(F.col("timestamp"), F.lit(0))).alias("t"),
+        F.col("package_file").alias("f"),
+    )
     return (
         j.groupBy(spec_id_col)
         .agg(
-            F.max_by(
-                F.struct("package_file", "version", "build"), F.col("timestamp")
-            ).alias("_w")
+            F.min_by(F.struct("package_file", "version", "build"), key).alias("_w")
         )
         .select(
             F.col(spec_id_col),

@@ -129,10 +129,11 @@ def resolve_registry_sources(registry: DataFrame, tags: DataFrame | None) -> Dat
         return registry
     base = registry.withColumn(
         "_rkey",
-        F.concat_ws(
-            "", F.col("provider"), F.coalesce(F.col("namespace"), F.lit("-")),
-            F.col("name"), F.col("version"),
-        ),
+        # to_json(struct) -- injective for a fixed schema; a separator-based
+        # concat lets ids containing the separator byte collide and
+        # cross-assign discovered sources (the same reasoning as
+        # snapshots.py's chunk key)
+        F.to_json(F.struct("provider", "namespace", "name", "version")),
     )
     todo = base.filter(
         F.col("source_type").isNull() & (F.size(F.coalesce(F.col("candidate_urls"), F.array())) > 0)
@@ -214,7 +215,11 @@ def resolve_registry_sources_py(
         return registry_rows
     tags_by_repo: dict[tuple, dict[str, str]] = {}
     for t in tags_rows:
-        tags_by_repo.setdefault((t["owner"], t["name"]), {})[t["tag"]] = t["sha"]
+        refs = tags_by_repo.setdefault((t["owner"], t["name"]), {})
+        # duplicate (owner, name, tag) rows resolve to the MIN sha — the
+        # same deterministic tiebreak discover_sources' min_by struct
+        # applies (git refs are unique upstream; only fixtures can dup)
+        refs[t["tag"]] = min(refs[t["tag"]], t["sha"]) if t["tag"] in refs else t["sha"]
     out = []
     for r in registry_rows:
         if r.get("source_type") is None and r.get("candidate_urls"):

@@ -88,7 +88,14 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     parsed = with_parsed_coordinates(seeds.withColumnRenamed("type", "request_type"), "url")
     return parsed.withColumn("_seed_bypass", F.lit(True)).select(
         "_seed_bypass",
-        F.col("canonical_url").alias("url"),
+        # fail loudly on an unparseable seed url (the simulator twin
+        # raises the same way): silently enqueueing a null-coordinate
+        # row would log a NULL-url 'Processed' outcome and expand nothing
+        F.when(
+            F.col("canonical_url").isNotNull(), F.col("canonical_url")
+        ).otherwise(
+            F.raise_error(F.concat(F.lit("unparseable seed url: "), F.coalesce(F.col("url"), F.lit("NULL"))))
+        ).alias("url"),
         F.col("request_type").alias("type"),
         F.col("type").alias("spec_type"),
         "provider", "namespace", "name", "revision", "host",
@@ -338,8 +345,12 @@ class CrawlEngine:
         self.registry_names = (
             registry.groupBy("provider", "namespace", "name")
             .agg(
-                F.first("status").alias("status"),
-                F.first("fail_attempts").alias("fail_attempts"),
+                # min_by release_seq, not F.first: first() is
+                # partition-order-dependent, and the simulator reads the
+                # fixture's list head (rows are constant-per-name in
+                # every fixture, but determinism shouldn't rest on that)
+                F.min_by("status", "release_seq").alias("status"),
+                F.min_by("fail_attempts", "release_seq").alias("fail_attempts"),
                 latest_version_agg(F.col("version"), F.col("release_seq")).alias("latest_version"),
             )
         )
@@ -422,7 +433,15 @@ class CrawlEngine:
             & F.col("name").startswith(self.robots["disallow_prefix"]),
             "left",
         )
-        excluded = rj.filter(self.robots["host"].isNotNull()).select(eligible["*"]).distinct()
+        # dedup on the unique frontier key, not a 16-column distinct: a
+        # row matching several disallow prefixes fans out in the join,
+        # and every fan-out copy is full-row identical, so the narrow
+        # key gives the same set without shuffling all columns
+        excluded = (
+            rj.filter(self.robots["host"].isNotNull())
+            .select(eligible["*"])
+            .dropDuplicates(["enqueued_seq"])
+        )
         allowed = rj.filter(self.robots["host"].isNull()).select(eligible["*"])
 
         # -- per-host politeness budget (S6), hot-host-salted (SURVEY §4):

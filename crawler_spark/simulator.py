@@ -269,6 +269,9 @@ class CrawlSimulator:
         entries = []
         for s in seeds:
             c = canonicalize_py(s["url"])
+            if c is None or not c.get("canonical_url"):
+                # mirror of seeds_to_frontier's raise_error
+                raise ValueError(f"unparseable seed url: {s.get('url')!r}")
             queue = s.get("queue") or "normal"
             if queue not in QUEUE_NAMES:
                 # mirror of seeds_to_frontier's raise_error: an unknown

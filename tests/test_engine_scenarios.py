@@ -339,3 +339,18 @@ def test_enqueue_filters_require_partition_count(spark):
     filters = build_filters(seen, n_partitions=4)
     with pytest.raises(ValueError, match="n_filter_parts"):
         enqueue_batch(entries, seen, 0, ["_order"], seen_filters=filters)
+
+
+def test_unparseable_seed_url_fails_loudly(spark):
+    """Both engines reject a seed whose url doesn't parse, instead of the
+    engine enqueueing a null-coordinate row the simulator would crash on."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from crawler_spark.operators.epoch import seeds_to_frontier
+
+    bad = [{"seed_id": 0, "type": "npm", "url": "not-a-coordinate",
+            "queue": "normal", "policy": "default"}]
+    with pytest.raises(ValueError, match="unparseable seed url"):
+        CrawlSimulator(_reg("x", [("1.0.0", False)]), []).seed(bad, epoch=0)
+    with pytest.raises(SparkRuntimeException, match="unparseable seed url"):
+        seeds_to_frontier(seeds_df(spark, bad)).collect()

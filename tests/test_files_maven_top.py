@@ -253,3 +253,20 @@ def test_conda_slice_and_github_latest_commit(spark):
     assert set(got) == {"r1", "r2"}  # commit-less repo dropped
     assert got["r1"]["url"] == "cd:/git/github/o/r1/sha-r1-new"
     assert all(r["rtype"] == "source" for r in got.values())
+
+
+def test_npm_top_seed_scoped_package_namespace(spark):
+    """top.js:103-106: a scoped npm name splits into namespace/name in
+    the request url; unscoped names keep namespace '-'; crates treats a
+    '/' name as opaque."""
+    from crawler_spark.data.top_seeds import top_seed_requests
+
+    ranked = spark.createDataFrame(
+        [(0, "@babel/core", "7.0.0"), (1, "lodash", "4.17.21")],
+        "rank long, name string, version string",
+    )
+    got = {r["rank"]: r["url"] for r in top_seed_requests(ranked, "npm", 0, 2).collect()}
+    assert got[0] == "cd:/npm/npmjs/@babel/core/7.0.0"
+    assert got[1] == "cd:/npm/npmjs/-/lodash/4.17.21"
+    crates = {r["rank"]: r["url"] for r in top_seed_requests(ranked, "crates", 0, 2).collect()}
+    assert crates[0] == "cd:/crate/cratesio/-/@babel/core/7.0.0"

@@ -230,3 +230,29 @@ def test_gem_fetch_kernels(spark):
     assert got[4][0] == "Skipped"
     assert got[5] == ("Fetched", "https://rubygems.org/gems/gemz-3.0.gem", "None")
     assert got[6][2] == "2016-02-02 10:00:00"
+
+
+def test_conda_match_null_timestamp_and_tie(spark):
+    """condaFetch.js:112 sorts with `timestamp || 0`: a match whose only
+    candidates have NULL timestamps still matches (it sorts as 0), and
+    equal timestamps break deterministically (package_file asc stands in
+    for the reference's stable enumeration order)."""
+    from crawler_spark.functions.providers import conda_match_packages
+
+    repodata = spark.createDataFrame(
+        [
+            ("a", "1.0.0", "py39_0", None, "a-null-1.conda"),
+            ("a", "1.0.0", "py39_1", None, "a-null-2.conda"),
+            ("b", "1.0.0", "py39_0", 5, "b-tie-1.conda"),
+            ("b", "1.0.0", "py39_1", 5, "b-tie-2.conda"),
+            ("b", "1.0.0", "py39_2", 3, "b-old.conda"),
+        ],
+        "name string, version string, build string, timestamp long, package_file string",
+    )
+    specs = spark.createDataFrame(
+        [(0, "a", None, None), (1, "b", None, None)],
+        "spec_id long, name string, version string, build_prefix string",
+    )
+    got = {r["spec_id"]: r["package_file"] for r in conda_match_packages(specs, repodata).collect()}
+    assert got[0] == "a-null-1.conda"  # NULL timestamps: still matched
+    assert got[1] == "b-tie-1.conda"  # tie at ts=5: deterministic winner
